@@ -1,0 +1,93 @@
+"""TopK Sparse Autoencoder (https://arxiv.org/abs/2406.04093) in Flax.
+
+One module covers the reference's whole SAE family via
+``SAEConfig.variant`` (reference classes: model.py:42-104,
+model_window_topk.py:40-231, model_cpc.py:40-192):
+
+- tied initialization: decoder atoms drawn uniform and normalized to unit
+  L2, encoder initialized to the decoder transpose, zero biases
+  (reference: model.py:56-66)
+- encode: ReLU(enc(x - b_dec)) followed by the variant's TopK rule
+- decode: codes @ W_dec + b_dec
+
+Parameters live in fp32; the enc/dec matmuls run in ``dtype``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sls_tpu.config import SAEConfig
+from sls_tpu.sae.sparsify import (
+    topk_per_row,
+    window_topk_hard,
+    window_topk_overlap,
+)
+
+
+class TopKSAE(nn.Module):
+    config: SAEConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        D, M = cfg.activation_dim, cfg.dict_size
+
+        def init_w_dec(key, shape, dtype=jnp.float32):
+            # Uniform box (torch Linear default direction distribution),
+            # then unit-norm per dictionary atom — scale cancels.
+            w = jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
+            return w / jnp.linalg.norm(w, axis=1, keepdims=True)
+
+        # [dict_size, activation_dim]; row = unit-norm dictionary atom
+        self.W_dec = self.param("W_dec", init_w_dec, (M, D))
+        # Tied init: encoder starts as decoder transpose
+        self.W_enc = self.param(
+            "W_enc", lambda key, shape: jnp.transpose(self.W_dec), (D, M)
+        )
+        self.b_enc = self.param("b_enc", nn.initializers.zeros, (M,))
+        self.b_dec = self.param("b_dec", nn.initializers.zeros, (D,))
+
+    def pre_activations(self, x: jnp.ndarray) -> jnp.ndarray:
+        """ReLU encoder activations before sparsification.  x: [..., D]."""
+        h = (x - self.b_dec).astype(self.dtype) @ self.W_enc.astype(self.dtype)
+        return jax.nn.relu(h.astype(jnp.float32) + self.b_enc)
+
+    def sparsify(self, acts: jnp.ndarray) -> jnp.ndarray:
+        """Apply the configured TopK rule.  Window variants need [B,T,M]."""
+        cfg = self.config
+        if cfg.variant == "per_timestep":
+            return topk_per_row(acts, cfg.k)
+        if acts.ndim != 3:
+            raise ValueError(
+                f"variant {cfg.variant!r} needs [B,T,M] activations, "
+                f"got shape {acts.shape}"
+            )
+        if cfg.variant == "window_overlap":
+            return window_topk_overlap(acts, cfg.k, cfg.window_size)
+        if cfg.variant == "window_hard":
+            return window_topk_hard(acts, cfg.k, cfg.window_size)
+        raise ValueError(f"unknown SAE variant: {cfg.variant!r}")
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Sparse codes for x ([B,T,D] or [N,D]; window variants require
+        the 3-D form, matching the reference's temporal_dim contract)."""
+        return self.sparsify(self.pre_activations(x))
+
+    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
+        y = codes.astype(self.dtype) @ self.W_dec.astype(self.dtype)
+        return y.astype(jnp.float32) + self.b_dec
+
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (reconstruction, sparse_codes)."""
+        codes = self.encode(x)
+        return self.decode(codes), codes
+
+
+def reconstruction_loss(recon: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean-squared reconstruction error (reference: model.py:225)."""
+    return jnp.mean(jnp.square(recon.astype(jnp.float32) - target.astype(jnp.float32)))
