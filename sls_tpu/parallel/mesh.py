@@ -1,0 +1,62 @@
+"""Device mesh and sharding layout.
+
+Replaces the reference's ``nn.DataParallel`` thread-scatter
+(reference: main.py:518) with a single-controller SPMD layout:
+
+- 1-D ``('data',)`` mesh over all chips (v5e-8: 1x8 over ICI)
+- batch arrays sharded on axis 0, parameters/optimizer state replicated
+- gradient all-reduce compiled by XLA into ICI collectives — no user-level
+  communication code, no ``module.`` prefix surgery (main.py:542-560)
+
+The model is 0.3B params (~1.2 GB fp32) so pure data-parallel is the
+right layout at v5e scale; the mesh helper accepts extra axes for future
+tensor/sequence sharding of the long-context eval path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over all (or the given) devices.
+
+    Default: 1-D 'data' mesh of every addressable device.  ``shape``
+    reshapes the device list for multi-axis layouts, e.g. (4, 2) with
+    axis_names ('data', 'model').
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devs).reshape(tuple(shape))
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,142 @@
+"""Jitted SPMD train/eval steps.
+
+The hot loop of the reference trainer (reference: main.py:201-258
+train_epoch, main.py:98-156 evaluate_accuracy) as pure jitted functions
+over a data mesh: params replicated, batch sharded on 'data', gradient
+all-reduce inserted by XLA over ICI (SURVEY.md §5.8).
+
+Optimizer matches torch ``Adam(lr, weight_decay=wd)`` exactly: L2 decay is
+added to the gradient *before* the Adam moment updates
+(optax.add_decayed_weights ahead of scale_by_adam), which differs from
+AdamW (reference: main.py:526).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sls_tpu.config import ExperimentConfig
+from sls_tpu.models.detector import Detector, total_loss
+from sls_tpu.train.loss import weighted_nll
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; dropout rngs are derived per-step from
+    (base_rng, step) so resume is deterministic."""
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-on-grad, not AdamW)."""
+    transforms = []
+    if weight_decay:
+        transforms.append(optax.add_decayed_weights(weight_decay))
+    transforms.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    transforms.append(optax.scale(-lr))
+    return optax.chain(*transforms)
+
+
+def create_train_state(
+    model: Detector,
+    cfg: ExperimentConfig,
+    rng: jax.Array,
+    sample_wav: jnp.ndarray,
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample_wav,
+        train=False,
+    )
+    tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def make_train_step(
+    model: Detector, cfg: ExperimentConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, wav [B,S], labels [B], base_rng) ->
+    (state, metrics dict with loss/cls_loss/sae_loss/cpc_loss/scores).
+    """
+    tcfg = cfg.train
+    compute_cpc = cfg.model.use_cpc
+
+    def step(state: TrainState, wav, labels, base_rng):
+        dropout_rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                wav,
+                train=True,
+                compute_cpc=compute_cpc,
+                rngs={"dropout": dropout_rng},
+            )
+            cls = weighted_nll(out["log_probs"], labels, tcfg.loss_weights)
+            loss = total_loss(
+                cls, out["sae_loss"], tcfg.sae_weight,
+                out["cpc_loss"], tcfg.cpc_weight if compute_cpc else 0.0,
+            )
+            aux = {
+                "cls_loss": cls,
+                "sae_loss": out["sae_loss"],
+                "cpc_loss": out["cpc_loss"],
+                "scores": out["score"],
+                "log_probs": out["log_probs"],
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "cls_loss": aux["cls_loss"],
+            "sae_loss": aux["sae_loss"],
+            "cpc_loss": aux["cpc_loss"],
+            "scores": aux["scores"],
+            "correct": (jnp.argmax(aux["log_probs"], -1) == labels).sum(),
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, None),
+    )
+
+
+def make_eval_step(
+    model: Detector, cfg: ExperimentConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Build the jitted eval step: (params, wav) -> dict with score [B],
+    log_probs, sae_loss (for validation telemetry)."""
+
+    def step(params, wav):
+        out = model.apply({"params": params}, wav, train=False)
+        return {
+            "score": out["score"],
+            "log_probs": out["log_probs"],
+            "sae_loss": out["sae_loss"],
+        }
+
+    if mesh is None:
+        return jax.jit(step)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=None)
