@@ -1,0 +1,166 @@
+"""Checkpointing: atomic last/best saves and the resume chain.
+
+Re-provides the reference's checkpoint semantics (reference:
+main.py:338-399, 542-627, 752-776) on a flax/optax state pytree:
+
+- dict checkpoints carrying params, optimizer state, epoch, metrics and
+  the full serialized config (checkpoint-as-config idiom)
+- atomic writes via tmp file + os.replace (torn-file safety)
+- ``last.ckpt`` every epoch + ``best.ckpt`` on val-EER improvement
+- resume priority: explicit path > last > best
+- params-only loading for eval/analysis tools
+
+Format: flax msgpack serialization (single-host).  Multi-host/sharded
+async checkpointing can swap in orbax behind the same interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import numpy as np
+from flax import serialization
+
+PathLike = Union[str, Path]
+
+LAST_NAME = "last.ckpt"
+BEST_NAME = "best.ckpt"
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: PathLike,
+    state_tree: Any,
+    *,
+    epoch: int,
+    metrics: Optional[Dict[str, float]] = None,
+    config_json: Optional[str] = None,
+) -> None:
+    """Atomically serialize a checkpoint dict to ``path``."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "epoch": epoch,
+        "metrics": metrics or {},
+        "config_json": config_json or "",
+    }
+    # to_state_dict flattens namedtuple optimizer states into plain dicts
+    state_dict = serialization.to_state_dict(_to_host(state_tree))
+    blob = serialization.msgpack_serialize(
+        {"state": state_dict, "meta": _meta_to_arrays(meta)}
+    )
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _meta_to_arrays(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Meta dict -> msgpack-friendly form (scalars + json strings)."""
+    return {
+        "epoch": np.asarray(meta["epoch"], np.int64),
+        "metrics_json": json.dumps(meta["metrics"]),
+        "config_json": meta["config_json"],
+    }
+
+
+def load_checkpoint(
+    path: PathLike, state_template: Optional[Any] = None
+) -> Tuple[Any, Dict[str, Any]]:
+    """Load a checkpoint.  With ``state_template`` the state is restored
+    into the template's pytree structure (shape-checked); without it the
+    raw nested dict is returned.
+
+    Returns (state, meta) where meta has epoch / metrics / config_json.
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    state = raw["state"]
+    if state_template is not None:
+        state = serialization.from_state_dict(state_template, state)
+    meta_raw = raw.get("meta", {})
+    meta = {
+        "epoch": int(meta_raw.get("epoch", 0)),
+        "metrics": json.loads(meta_raw.get("metrics_json", "{}")),
+        "config_json": meta_raw.get("config_json", ""),
+    }
+    return state, meta
+
+
+class CheckpointManager:
+    """last/best checkpoint management for a run directory."""
+
+    def __init__(self, run_dir: PathLike, config_json: str = ""):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.config_json = config_json
+        self.best_metric: Optional[float] = None
+        self._load_best_metric()
+
+    @property
+    def last_path(self) -> Path:
+        return self.run_dir / LAST_NAME
+
+    @property
+    def best_path(self) -> Path:
+        return self.run_dir / BEST_NAME
+
+    def _load_best_metric(self) -> None:
+        if self.best_path.exists():
+            try:
+                _, meta = load_checkpoint(self.best_path)
+                self.best_metric = meta["metrics"].get("val_eer")
+            except Exception:
+                self.best_metric = None
+
+    def save_epoch(
+        self,
+        state_tree: Any,
+        epoch: int,
+        metrics: Dict[str, float],
+        best_key: str = "val_eer",
+        lower_is_better: bool = True,
+    ) -> bool:
+        """Save ``last``; promote to ``best`` if ``metrics[best_key]``
+        improved.  Returns True when a new best was recorded."""
+        save_checkpoint(
+            self.last_path, state_tree, epoch=epoch, metrics=metrics,
+            config_json=self.config_json,
+        )
+        value = metrics.get(best_key)
+        if value is None:
+            return False
+        improved = self.best_metric is None or (
+            value < self.best_metric if lower_is_better else value > self.best_metric
+        )
+        if improved:
+            self.best_metric = value
+            save_checkpoint(
+                self.best_path, state_tree, epoch=epoch, metrics=metrics,
+                config_json=self.config_json,
+            )
+        return improved
+
+    def resolve_resume(
+        self, explicit: Optional[PathLike] = None
+    ) -> Optional[Path]:
+        """Resume priority: explicit path > last > best
+        (reference: main.py:345-377)."""
+        if explicit:
+            p = Path(explicit)
+            if p.exists():
+                return p
+            raise FileNotFoundError(f"--resume checkpoint not found: {p}")
+        for candidate in (self.last_path, self.best_path):
+            if candidate.exists():
+                return candidate
+        return None

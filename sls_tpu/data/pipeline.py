@@ -1,0 +1,231 @@
+"""Host-side input pipeline: dataset indices and prefetching batch loaders.
+
+Replaces the reference's torch ``Dataset``/``DataLoader`` worker processes
+(reference: data_utils_SSL.py:68-135, main.py:695-710) with a
+thread-prefetched loader that emits fixed-shape numpy batches:
+
+- decode (FLAC via the native decoder / WAV via stdlib) + repeat-tile pad
+  happen on loader threads
+- RawBoost augmentation does NOT happen here — it runs on-device
+  (sls_tpu.augment.rawboost.rawboost_batch), removing the reference's
+  CPU augmentation bottleneck
+- deterministic shuffling keyed by (seed, epoch); drop_last=False with a
+  final partial batch padded by repetition and masked, so shapes stay
+  static for XLA
+- corrupt files decode to empty -> zero waveform fallback keeps score
+  files complete (reference: eval_2021_LA_torchaudio.py:65-69)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from sls_tpu.data.audio import DEFAULT_CUT, load_audio, pad_or_tile
+
+PathLike = Union[str, Path]
+
+
+@dataclass
+class DatasetIndex:
+    """Resolved file list for one split."""
+
+    utt_ids: List[str]
+    paths: List[Path]
+    labels: Optional[np.ndarray] = None  # int64 [N], 1 = bonafide
+
+    def __len__(self) -> int:
+        return len(self.utt_ids)
+
+    @staticmethod
+    def for_train(
+        utt_ids: Sequence[str], labels: Dict[str, int], base_dir: PathLike
+    ) -> "DatasetIndex":
+        """2019-LA-style layout: <base_dir>/flac/<utt>.flac
+        (reference: data_utils_SSL.py:87)."""
+        base = Path(base_dir)
+        return DatasetIndex(
+            utt_ids=list(utt_ids),
+            paths=[base / "flac" / f"{u}.flac" for u in utt_ids],
+            labels=np.asarray([labels[u] for u in utt_ids], np.int64),
+        )
+
+    @staticmethod
+    def for_eval(utt_ids: Sequence[str], base_dir: PathLike) -> "DatasetIndex":
+        """2021 eval layout: <base_dir>/flac/<utt>.flac
+        (reference: data_utils_SSL.py:112)."""
+        base = Path(base_dir)
+        return DatasetIndex(
+            utt_ids=list(utt_ids),
+            paths=[base / "flac" / f"{u}.flac" for u in utt_ids],
+        )
+
+    @staticmethod
+    def for_in_the_wild(utt_ids: Sequence[str], base_dir: PathLike) -> "DatasetIndex":
+        """In-the-Wild layout: ids already carry '.wav'
+        (reference: data_utils_SSL.py:132)."""
+        base = Path(base_dir)
+        return DatasetIndex(
+            utt_ids=list(utt_ids), paths=[base / u for u in utt_ids]
+        )
+
+
+def _decode_one(path: Path, cut: int) -> np.ndarray:
+    wav = load_audio(path)
+    if wav.shape[0] == 0:  # corrupt-file zero fallback
+        return np.zeros(cut, np.float32)
+    return pad_or_tile(wav, cut).astype(np.float32)
+
+
+@dataclass
+class Batch:
+    wav: np.ndarray  # [B, cut] float32
+    utt_ids: List[str]
+    labels: Optional[np.ndarray]  # [B] int64 or None
+    valid: np.ndarray  # [B] bool — False on repeated tail-fill rows
+
+
+class BatchLoader:
+    """Thread-prefetched fixed-shape batch iterator."""
+
+    def __init__(
+        self,
+        index: DatasetIndex,
+        batch_size: int,
+        *,
+        cut: int = DEFAULT_CUT,
+        shuffle: bool = False,
+        seed: int = 1234,
+        num_threads: int = 8,
+        prefetch: int = 4,
+        limit_batches: Optional[int] = None,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.cut = cut
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.limit_batches = limit_batches
+
+    def _order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.index))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        return order
+
+    def num_batches(self) -> int:
+        n = (len(self.index) + self.batch_size - 1) // self.batch_size
+        if self.limit_batches is not None:
+            n = min(n, self.limit_batches)
+        return n
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        """Yield batches for one epoch; decode parallelized across
+        ``num_threads`` with ``prefetch`` batches in flight."""
+        order = self._order(epoch)
+        n_batches = self.num_batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def assemble(batch_idx: int) -> Batch:
+            lo = batch_idx * self.batch_size
+            sel = order[lo : lo + self.batch_size]
+            valid = np.ones(self.batch_size, bool)
+            if len(sel) < self.batch_size:  # static shapes: tile the tail
+                pad = self.batch_size - len(sel)
+                valid[len(sel):] = False
+                sel = np.concatenate([sel, sel[: pad % max(len(sel), 1)]
+                                      if len(sel) else np.zeros(pad, np.int64)])
+                while len(sel) < self.batch_size:
+                    sel = np.concatenate([sel, sel[: self.batch_size - len(sel)]])
+            wavs = np.stack(
+                [_decode_one(self.index.paths[i], self.cut) for i in sel]
+            )
+            labels = (
+                self.index.labels[sel] if self.index.labels is not None else None
+            )
+            return Batch(
+                wav=wavs,
+                utt_ids=[self.index.utt_ids[i] for i in sel],
+                labels=labels,
+                valid=valid,
+            )
+
+        def producer(worker: int):
+            for b in range(worker, n_batches, self.num_threads):
+                if stop.is_set():
+                    return
+                try:
+                    out_q.put((b, assemble(b)))
+                except Exception as exc:  # surface decode errors
+                    out_q.put((b, exc))
+                    return
+
+        threads = [
+            threading.Thread(target=producer, args=(w,), daemon=True)
+            for w in range(min(self.num_threads, max(n_batches, 1)))
+        ]
+        for t in threads:
+            t.start()
+
+        try:
+            pending: Dict[int, Batch] = {}
+            next_b = 0
+            received = 0
+            while next_b < n_batches:
+                while next_b not in pending and received < n_batches:
+                    b, item = out_q.get()
+                    if isinstance(item, Exception):
+                        raise item
+                    pending[b] = item
+                    received += 1
+                yield pending.pop(next_b)
+                next_b += 1
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=0.1)
+
+
+class ArrayLoader:
+    """In-memory loader with the same Batch interface — synthetic data,
+    tests, and the quick_test escape hatch."""
+
+    def __init__(self, wavs: np.ndarray, labels: Optional[np.ndarray],
+                 utt_ids: Optional[List[str]] = None, batch_size: int = 8,
+                 shuffle: bool = False, seed: int = 1234):
+        self.wavs = wavs
+        self.labels = labels
+        self.utt_ids = utt_ids or [f"utt_{i}" for i in range(len(wavs))]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def num_batches(self) -> int:
+        return (len(self.wavs) + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        order = np.arange(len(self.wavs))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        bs = self.batch_size
+        for lo in range(0, len(order), bs):
+            sel = order[lo : lo + bs]
+            valid = np.ones(bs, bool)
+            if len(sel) < bs:
+                valid[len(sel):] = False
+                reps = int(np.ceil(bs / len(sel)))
+                sel = np.tile(sel, reps)[:bs]
+            yield Batch(
+                wav=self.wavs[sel],
+                utt_ids=[self.utt_ids[i] for i in sel],
+                labels=None if self.labels is None else self.labels[sel],
+                valid=valid,
+            )

@@ -1,0 +1,296 @@
+"""Epoch-level training driver.
+
+The reference's train/eval epoch machinery (reference: main.py:98-258,
+714-776) rebuilt around jitted SPMD steps:
+
+- on-device RawBoost augmentation per train batch (per-(epoch,batch) keys)
+- online train/val EER from P(bonafide) scores (main.py:234-242)
+- CSV training log + TensorBoard scalars (main.py:71-96, 744-750)
+- last/best checkpointing with resume (CheckpointManager)
+- quick_test batch caps (main.py:111-113)
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sls_tpu.augment.rawboost import rawboost_batch
+from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
+from sls_tpu.config import ExperimentConfig, config_to_json
+from sls_tpu.metrics.eer import roc_eer
+from sls_tpu.models.detector import Detector
+from sls_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sls_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+CSV_FIELDS = [
+    "epoch", "train_loss", "train_cls_loss", "train_sae_loss", "train_cpc_loss",
+    "train_acc", "train_eer", "val_loss", "val_acc", "val_eer", "val_sae_loss",
+    "epoch_seconds",
+]
+
+
+class CSVLogger:
+    """Append-per-epoch CSV, consumable by monitors/auto-resume logic
+    (reference: main.py:71-96; train_window_topk.slurm:79-84)."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        if not self.path.exists():
+            with open(self.path, "w", newline="") as f:
+                csv.DictWriter(f, CSV_FIELDS).writeheader()
+
+    def log(self, row: Dict):
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, CSV_FIELDS).writerow(
+                {k: row.get(k, "") for k in CSV_FIELDS}
+            )
+
+    def last_epoch(self) -> int:
+        try:
+            with open(self.path) as f:
+                rows = list(csv.DictReader(f))
+            return int(rows[-1]["epoch"]) if rows else -1
+        except Exception:
+            return -1
+
+
+@dataclass
+class EpochMetrics:
+    loss: float = 0.0
+    cls_loss: float = 0.0
+    sae_loss: float = 0.0
+    cpc_loss: float = 0.0
+    acc: float = 0.0
+    eer: float = 50.0
+
+
+class Trainer:
+    """Single-controller SPMD trainer."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        run_dir,
+        mesh=None,
+        tensorboard: bool = True,
+    ):
+        self.cfg = cfg
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = Detector(cfg.model)
+
+        self.train_step = make_train_step(self.model, cfg, self.mesh)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+
+        self.ckpt = CheckpointManager(self.run_dir, config_to_json(cfg))
+        self.csv = CSVLogger(self.run_dir / "training_log.csv")
+        self.tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.run_dir / "tb"))
+            except Exception:
+                self.tb = None
+
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+
+    # -- state management ---------------------------------------------------
+
+    def init_state(self, sample_wav: Optional[np.ndarray] = None) -> None:
+        if sample_wav is None:
+            sample_wav = np.zeros((2, self.cfg.train.cut_length), np.float32)
+        state = create_train_state(
+            self.model, self.cfg, self.rng, jnp.asarray(sample_wav)
+        )
+        self.state = replicate(state, self.mesh)
+
+    def resume(self, explicit_path=None, fresh_start: bool = False) -> bool:
+        """Restore from the resume chain; returns True if resumed."""
+        if fresh_start:
+            return False
+        path = self.ckpt.resolve_resume(explicit_path)
+        if path is None:
+            return False
+        assert self.state is not None, "call init_state() before resume()"
+        template = {"params": self.state.params, "opt_state": self.state.opt_state,
+                    "step": self.state.step}
+        restored, meta = load_checkpoint(path, template)
+        self.state = self.state.replace(
+            params=replicate(restored["params"], self.mesh),
+            opt_state=replicate(restored["opt_state"], self.mesh),
+            step=jnp.asarray(restored["step"]),
+        )
+        self.start_epoch = meta["epoch"] + 1
+        return True
+
+    def _state_tree(self):
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+
+    # -- epochs -------------------------------------------------------------
+
+    def train_epoch(self, loader, epoch: int) -> EpochMetrics:
+        assert self.state is not None
+        tcfg = self.cfg.train
+        aug_cfg = tcfg.rawboost
+        n_seen = 0
+        sums = {"loss": 0.0, "cls": 0.0, "sae": 0.0, "cpc": 0.0, "correct": 0.0}
+        scores_all: List[np.ndarray] = []
+        labels_all: List[np.ndarray] = []
+
+        for b_idx, batch in enumerate(loader.epoch(epoch)):
+            wav = jnp.asarray(batch.wav)
+            if aug_cfg.algo in range(1, 9):
+                aug_key = jax.random.fold_in(
+                    jax.random.fold_in(self.rng, epoch), b_idx
+                )
+                wav = rawboost_batch(aug_key, wav, aug_cfg)
+            labels = jnp.asarray(batch.labels)
+            wav, labels = shard_batch((wav, labels), self.mesh)
+            self.state, metrics = self.train_step(
+                self.state, wav, labels, self.rng
+            )
+            bsz = int(batch.valid.sum())
+            n_seen += bsz
+            sums["loss"] += float(metrics["loss"]) * bsz
+            sums["cls"] += float(metrics["cls_loss"]) * bsz
+            sums["sae"] += float(metrics["sae_loss"]) * bsz
+            sums["cpc"] += float(metrics["cpc_loss"]) * bsz
+            sums["correct"] += float(metrics["correct"])
+            s = np.asarray(metrics["scores"])[batch.valid]
+            scores_all.append(s)
+            labels_all.append(batch.labels[batch.valid])
+
+        eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
+        n = max(n_seen, 1)
+        return EpochMetrics(
+            loss=sums["loss"] / n, cls_loss=sums["cls"] / n,
+            sae_loss=sums["sae"] / n, cpc_loss=sums["cpc"] / n,
+            acc=100.0 * sums["correct"] / n, eer=eer,
+        )
+
+    def validate(self, loader) -> EpochMetrics:
+        assert self.state is not None
+        from sls_tpu.train.loss import weighted_nll
+
+        n_seen = 0
+        loss_sum = 0.0
+        sae_sum = 0.0
+        correct = 0.0
+        scores_all: List[np.ndarray] = []
+        labels_all: List[np.ndarray] = []
+        for batch in loader.epoch(0):
+            wav = shard_batch(jnp.asarray(batch.wav), self.mesh)
+            out = self.eval_step(self.state.params, wav)
+            logp = np.asarray(out["log_probs"])
+            s = np.asarray(out["score"])
+            v = batch.valid
+            bsz = int(v.sum())
+            n_seen += bsz
+            loss_sum += float(
+                weighted_nll(
+                    jnp.asarray(logp[v]), jnp.asarray(batch.labels[v]),
+                    self.cfg.train.loss_weights,
+                )
+            ) * bsz
+            sae_sum += float(out["sae_loss"]) * bsz
+            correct += float((np.argmax(logp[v], -1) == batch.labels[v]).sum())
+            scores_all.append(s[v])
+            labels_all.append(batch.labels[v])
+
+        eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
+        n = max(n_seen, 1)
+        return EpochMetrics(
+            loss=loss_sum / n, sae_loss=sae_sum / n,
+            acc=100.0 * correct / n, eer=eer,
+        )
+
+    def fit(self, train_loader, val_loader, num_epochs: Optional[int] = None):
+        """Full training run with per-epoch checkpointing and logging."""
+        assert self.state is not None, "call init_state() (and resume()) first"
+        num_epochs = num_epochs or self.cfg.train.num_epochs
+        for epoch in range(self.start_epoch, num_epochs):
+            t0 = time.time()
+            tr = self.train_epoch(train_loader, epoch)
+            va = self.validate(val_loader)
+            dt = time.time() - t0
+
+            row = {
+                "epoch": epoch,
+                "train_loss": f"{tr.loss:.6f}",
+                "train_cls_loss": f"{tr.cls_loss:.6f}",
+                "train_sae_loss": f"{tr.sae_loss:.6f}",
+                "train_cpc_loss": f"{tr.cpc_loss:.6f}",
+                "train_acc": f"{tr.acc:.3f}",
+                "train_eer": f"{tr.eer:.4f}",
+                "val_loss": f"{va.loss:.6f}",
+                "val_acc": f"{va.acc:.3f}",
+                "val_eer": f"{va.eer:.4f}",
+                "val_sae_loss": f"{va.sae_loss:.6f}",
+                "epoch_seconds": f"{dt:.1f}",
+            }
+            self.csv.log(row)
+            if self.tb is not None:
+                for key, value in [
+                    ("train/loss", tr.loss), ("train/eer", tr.eer),
+                    ("train/acc", tr.acc), ("train/sae_loss", tr.sae_loss),
+                    ("val/loss", va.loss), ("val/eer", va.eer),
+                    ("val/acc", va.acc),
+                ]:
+                    self.tb.add_scalar(key, value, epoch)
+
+            improved = self.ckpt.save_epoch(
+                self._state_tree(), epoch,
+                {"val_eer": va.eer, "val_loss": va.loss, "val_acc": va.acc},
+            )
+            marker = " *best*" if improved else ""
+            print(
+                f"epoch {epoch}: train_loss={tr.loss:.4f} "
+                f"train_eer={tr.eer:.2f}% val_eer={va.eer:.2f}%"
+                f" ({dt:.1f}s){marker}",
+                flush=True,
+            )
+
+    # -- scoring ------------------------------------------------------------
+
+    def produce_scores(self, loader, out_path) -> int:
+        """Emit the `utt score` file for a track's eval set
+        (reference: main.py:158-199)."""
+        from sls_tpu.scores.writer import ScoreWriter
+
+        assert self.state is not None
+        n = 0
+        with ScoreWriter(out_path) as writer:
+            for batch in loader.epoch(0):
+                wav = shard_batch(jnp.asarray(batch.wav), self.mesh)
+                out = self.eval_step(self.state.params, wav)
+                # score-file contract: P(bonafide) = exp(log_softmax)[:, 1]
+                # (reference: main.py:183-185)
+                score = np.asarray(out["score"])
+                v = batch.valid
+                writer.write_batch(
+                    [u for u, ok in zip(batch.utt_ids, v) if ok], score[v]
+                )
+                n += int(v.sum())
+        return n
