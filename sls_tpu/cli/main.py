@@ -1,0 +1,291 @@
+"""Train / eval CLI, mirroring the reference's argparse surface.
+
+Flag-compatible re-design of the reference entry point
+(reference: main.py:402-461): dataset paths, track selection, hyper-
+parameters, SAE configuration, RawBoost's 17 parameters, checkpoint /
+resume control, and eval-mode score production.
+
+Differences (documented):
+- ``--cp_path`` takes a fairseq wav2vec2 checkpoint (.pt) OR a converted
+  .npz; weights are converted on load (encoder/convert.py)
+- run state lives in <model_dir>/<model_tag>/ with last.ckpt/best.ckpt
+  instead of *.pth files
+- augmentation runs on-device; the RawBoost flags feed RawBoostConfig
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="sls_tpu anti-spoofing train/eval")
+    # datasets (reference: main.py:404-418)
+    p.add_argument("--database_path", type=str, default="./data/",
+                   help="root with ASVspoof2019/2021 audio dirs")
+    p.add_argument("--protocols_path", type=str, default="./database/",
+                   help="root with CM protocol files")
+    p.add_argument("--track", type=str, default="LA",
+                   choices=["LA", "DF", "In-the-Wild"])
+    p.add_argument("--audio_ext", type=str, default="flac")
+    # hyperparameters (reference: main.py:419-424)
+    p.add_argument("--batch_size", type=int, default=14)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-6)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    # encoder
+    p.add_argument("--cp_path", type=str, default="xlsr2_300m.pt",
+                   help="pretrained XLS-R checkpoint (fairseq .pt or .npz)")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no_bf16", dest="bf16", action="store_false")
+    # SAE (reference: main.py:430-441)
+    p.add_argument("--use_sae", action="store_true", default=True)
+    p.add_argument("--no_sae", dest="use_sae", action="store_false")
+    p.add_argument("--use_sparse_features", action="store_true", default=True)
+    p.add_argument("--use_reconstructed_features", dest="use_sparse_features",
+                   action="store_false")
+    p.add_argument("--sae_dict_size", type=int, default=4096)
+    p.add_argument("--sae_k", type=int, default=128)
+    p.add_argument("--sae_weight", type=float, default=0.1)
+    p.add_argument("--use_window_topk", action="store_true")
+    p.add_argument("--overlap_windows", action="store_true",
+                   help="50%%-overlap vote windows (else hard windows)")
+    p.add_argument("--sae_window_size", type=int, default=8)
+    # CPC (reference: train_cpc.py:442-452)
+    p.add_argument("--use_cpc", action="store_true")
+    p.add_argument("--cpc_weight", type=float, default=0.5)
+    p.add_argument("--cpc_hidden_dim", type=int, default=256)
+    p.add_argument("--cpc_prediction_steps", type=int, nargs="+",
+                   default=[1, 2, 4])
+    # runtime (reference: main.py:425-429)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--comment", type=str, default=None)
+    p.add_argument("--quick_test", action="store_true",
+                   help="truncate loops to 5 batches")
+    # checkpointing (reference: main.py:420-423,462-464)
+    p.add_argument("--model_dir", type=str, default="models")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="explicit checkpoint to load")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--fresh_start", action="store_true")
+    # eval (reference: main.py:426-428)
+    p.add_argument("--is_eval", action="store_true")
+    p.add_argument("--eval_output", type=str, default=None)
+    # RawBoost (reference: main.py:443-459)
+    p.add_argument("--algo", type=int, default=3)
+    p.add_argument("--nBands", type=int, default=5)
+    p.add_argument("--minF", type=int, default=20)
+    p.add_argument("--maxF", type=int, default=8000)
+    p.add_argument("--minBW", type=int, default=100)
+    p.add_argument("--maxBW", type=int, default=1000)
+    p.add_argument("--minCoeff", type=int, default=10)
+    p.add_argument("--maxCoeff", type=int, default=100)
+    p.add_argument("--minG", type=int, default=0)
+    p.add_argument("--maxG", type=int, default=0)
+    p.add_argument("--minBiasLinNonLin", type=int, default=5)
+    p.add_argument("--maxBiasLinNonLin", type=int, default=20)
+    p.add_argument("--N_f", type=int, default=5)
+    p.add_argument("--P", type=int, default=10)
+    p.add_argument("--g_sd", type=int, default=2)
+    p.add_argument("--SNRmin", type=int, default=10)
+    p.add_argument("--SNRmax", type=int, default=40)
+    # testing escape hatch: tiny encoder + short crops (CI-scale e2e)
+    p.add_argument("--tiny", action="store_true", help=argparse.SUPPRESS)
+    return p
+
+
+def config_from_args(args) -> "ExperimentConfig":
+    import jax.numpy as jnp
+
+    from sls_tpu.config import (
+        CPCConfig,
+        ExperimentConfig,
+        ModelConfig,
+        RawBoostConfig,
+        SAEConfig,
+        TrainConfig,
+        XLSRConfig,
+    )
+
+    if args.use_window_topk:
+        variant = "window_overlap" if args.overlap_windows else "window_hard"
+    elif args.use_cpc:
+        variant = "window_hard"  # CPC model uses hard windows (model_cpc.py)
+    else:
+        variant = "per_timestep"
+
+    if getattr(args, "tiny", False):
+        from sls_tpu.config import tiny_xlsr_config
+
+        encoder = tiny_xlsr_config()
+        act_dim = encoder.embed_dim
+    else:
+        encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        act_dim = 1024
+
+    model = ModelConfig(
+        encoder=encoder,
+        use_sae=args.use_sae,
+        use_sparse_features=args.use_sparse_features,
+        sae=SAEConfig(
+            activation_dim=act_dim,
+            dict_size=args.sae_dict_size,
+            k=args.sae_k,
+            variant=variant,
+            window_size=args.sae_window_size,
+        ),
+        use_cpc=args.use_cpc,
+        cpc=CPCConfig(
+            hidden_dim=args.cpc_hidden_dim,
+            prediction_steps=tuple(args.cpc_prediction_steps),
+        ),
+    )
+    rawboost = RawBoostConfig(
+        algo=args.algo, nBands=args.nBands, minF=args.minF, maxF=args.maxF,
+        minBW=args.minBW, maxBW=args.maxBW, minCoeff=args.minCoeff,
+        maxCoeff=args.maxCoeff, minG=args.minG, maxG=args.maxG,
+        minBiasLinNonLin=args.minBiasLinNonLin,
+        maxBiasLinNonLin=args.maxBiasLinNonLin, N_f=args.N_f, P=args.P,
+        g_sd=args.g_sd, SNRmin=args.SNRmin, SNRmax=args.SNRmax,
+    )
+    train = TrainConfig(
+        batch_size=args.batch_size, num_epochs=args.num_epochs, lr=args.lr,
+        weight_decay=args.weight_decay, sae_weight=args.sae_weight,
+        cpc_weight=args.cpc_weight, seed=args.seed, rawboost=rawboost,
+        cut_length=1000 if getattr(args, "tiny", False) else 64600,
+    )
+    return ExperimentConfig(model=model, train=train, track=args.track,
+                            comment=args.comment)
+
+
+def load_pretrained_encoder(cp_path: str, encoder_cfg):
+    """Load + convert a fairseq XLS-R checkpoint to encoder params.
+
+    Handles raw fairseq dict checkpoints ({'model': state}), bare state
+    dicts, and pre-converted .npz archives."""
+    from sls_tpu.encoder.convert import fairseq_encoder_to_flax, strip_prefixes
+
+    path = Path(cp_path)
+    if path.suffix == ".npz":
+        state = dict(np.load(path, allow_pickle=False))
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        state = raw.get("model", raw) if isinstance(raw, dict) else raw
+        state = {k: v.numpy() for k, v in state.items()}
+    state = strip_prefixes(state, ("module.", "w2v_encoder.", "w2v_model."))
+    return fairseq_encoder_to_flax(state, encoder_cfg)
+
+
+def _protocol_paths(args):
+    """Resolve the per-track protocol files (reference: main.py:661-676)."""
+    proto = Path(args.protocols_path)
+    return {
+        "train": proto / "ASVspoof2019.LA.cm.train.trn.txt",
+        "dev": proto / "ASVspoof2019.LA.cm.dev.trl.txt",
+        "eval_LA": proto / "ASVspoof2021.LA.cm.eval.trl.txt",
+        "eval_DF": proto / "ASVspoof2021.DF.cm.eval.trl.txt",
+        "eval_wild": proto / "in_the_wild.eval.txt",
+    }
+
+
+def run_eval(args, cfg, trainer):
+    from sls_tpu.data.pipeline import BatchLoader, DatasetIndex
+    from sls_tpu.data.protocols import parse_eval_list
+
+    paths = _protocol_paths(args)
+    db = Path(args.database_path)
+    if args.track == "LA":
+        ids = parse_eval_list(paths["eval_LA"])
+        index = DatasetIndex.for_eval(ids, db / "ASVspoof2021_LA_eval",
+                                      ext=args.audio_ext)
+        default_out = "scores/scores_LA.txt"
+    elif args.track == "DF":
+        ids = parse_eval_list(paths["eval_DF"])
+        index = DatasetIndex.for_eval(ids, db / "ASVspoof2021_DF_eval",
+                                      ext=args.audio_ext)
+        default_out = "scores/scores_DF.txt"
+    else:
+        ids = parse_eval_list(paths["eval_wild"])
+        index = DatasetIndex.for_in_the_wild(ids, db / "release_in_the_wild")
+        default_out = "scores/scores_Wild.txt"
+
+    loader = BatchLoader(
+        index, batch_size=args.batch_size, shuffle=False,
+        cut=cfg.train.cut_length,
+        limit_batches=5 if args.quick_test else None,
+    )
+    out = args.eval_output or default_out
+    n = trainer.produce_scores(loader, out)
+    print(f"wrote {n} scores to {out}")
+
+
+def run_train(args, cfg, trainer):
+    from sls_tpu.data.pipeline import BatchLoader, DatasetIndex
+    from sls_tpu.data.protocols import parse_train_protocol
+
+    paths = _protocol_paths(args)
+    db = Path(args.database_path)
+    labels_tr, ids_tr = parse_train_protocol(paths["train"])
+    labels_dev, ids_dev = parse_train_protocol(paths["dev"])
+    train_index = DatasetIndex.for_train(
+        ids_tr, labels_tr, db / "ASVspoof2019_LA_train", ext=args.audio_ext
+    )
+    dev_index = DatasetIndex.for_train(
+        ids_dev, labels_dev, db / "ASVspoof2019_LA_dev", ext=args.audio_ext
+    )
+    limit = 5 if args.quick_test else None
+    train_loader = BatchLoader(train_index, args.batch_size, shuffle=True,
+                               cut=cfg.train.cut_length, seed=args.seed,
+                               limit_batches=limit)
+    dev_loader = BatchLoader(dev_index, args.batch_size,
+                             cut=cfg.train.cut_length, limit_batches=limit)
+    trainer.fit(train_loader, dev_loader)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.resume and args.fresh_start:
+        print("ERROR: --resume and --fresh_start are mutually exclusive")
+        return 2
+
+    cfg = config_from_args(args)
+    run_dir = Path(args.model_dir) / cfg.model_tag()
+    print(f"run dir: {run_dir}")
+
+    from sls_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg, run_dir)
+    trainer.init_state(np.zeros((2, cfg.train.cut_length), np.float32))
+
+    # pretrained encoder weights
+    if args.cp_path and Path(args.cp_path).exists():
+        enc_params = load_pretrained_encoder(args.cp_path, cfg.model.encoder)
+        params = dict(trainer.state.params)
+        params["encoder"] = enc_params
+        from sls_tpu.parallel.mesh import replicate
+
+        trainer.state = trainer.state.replace(
+            params=replicate(params, trainer.mesh)
+        )
+        print(f"loaded pretrained encoder from {args.cp_path}")
+
+    resumed = trainer.resume(args.model_path, fresh_start=args.fresh_start)
+    if resumed:
+        print(f"resumed at epoch {trainer.start_epoch}")
+
+    if args.is_eval:
+        run_eval(args, cfg, trainer)
+    else:
+        run_train(args, cfg, trainer)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

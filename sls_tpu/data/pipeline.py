@@ -44,25 +44,28 @@ class DatasetIndex:
 
     @staticmethod
     def for_train(
-        utt_ids: Sequence[str], labels: Dict[str, int], base_dir: PathLike
+        utt_ids: Sequence[str], labels: Dict[str, int], base_dir: PathLike,
+        ext: str = "flac",
     ) -> "DatasetIndex":
         """2019-LA-style layout: <base_dir>/flac/<utt>.flac
         (reference: data_utils_SSL.py:87)."""
         base = Path(base_dir)
         return DatasetIndex(
             utt_ids=list(utt_ids),
-            paths=[base / "flac" / f"{u}.flac" for u in utt_ids],
+            paths=[base / "flac" / f"{u}.{ext}" for u in utt_ids],
             labels=np.asarray([labels[u] for u in utt_ids], np.int64),
         )
 
     @staticmethod
-    def for_eval(utt_ids: Sequence[str], base_dir: PathLike) -> "DatasetIndex":
+    def for_eval(
+        utt_ids: Sequence[str], base_dir: PathLike, ext: str = "flac"
+    ) -> "DatasetIndex":
         """2021 eval layout: <base_dir>/flac/<utt>.flac
         (reference: data_utils_SSL.py:112)."""
         base = Path(base_dir)
         return DatasetIndex(
             utt_ids=list(utt_ids),
-            paths=[base / "flac" / f"{u}.flac" for u in utt_ids],
+            paths=[base / "flac" / f"{u}.{ext}" for u in utt_ids],
         )
 
     @staticmethod
