@@ -5,19 +5,27 @@ encoder (bf16, fp32 norm islands) + TopK SAE (dict 4096, k=128) + pooled
 classifier — on one TPU chip, matching the BASELINE.json north-star metric
 ("4s-utterances/sec/chip (XLS-R-300M eval)").
 
+Timing methodology: every timed iteration ends with a host fetch of the
+[B] score vector (jax.device_get), which forces the full remote execution
+to complete — on relayed/async PJRT backends ``block_until_ready`` alone
+can return before the device work is actually done, producing absurd
+numbers.  The fetched payload is 64 floats, so transfer overhead is
+negligible against ~8 TFLOP of forward compute per batch.
+
 ``vs_baseline`` is measured against the reference single-GPU PyTorch
-pipeline (fp32 eager, batch 20, librosa loader; main.py:158-199).  The
-reference repo records no throughput numbers (BASELINE.md), and no GPU is
-available here, so the baseline constant below is an estimate of XLS-R-300M
-fp32 eager inference on an A100 (~126 GFLOP/utterance forward at the
-10-15% FLOP utilization typical of eager fp32 torch on this workload):
-BASELINE_UTTS_PER_SEC = 30.0.  Re-measure on real hardware when available.
+pipeline (fp32 eager, batch 20; reference main.py:158-199).  The reference
+repo records no throughput numbers (BASELINE.md) and no GPU exists here,
+so the baseline constant is an estimate of XLS-R-300M fp32 eager inference
+on an A100 (~126 GFLOP/utterance forward at the 10-15% FLOP utilization
+typical for this workload): BASELINE_UTTS_PER_SEC = 30.0.  Re-measure on
+real hardware when available.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -25,13 +33,15 @@ import time
 import numpy as np
 
 BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
-BATCH = 64
-WAV_LEN = 64600
-WARMUP_ITERS = 3
-TIMED_ITERS = 10
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -47,32 +57,37 @@ def main() -> int:
     model = Detector(cfg)
 
     rng = np.random.default_rng(0)
-    wav_np = rng.normal(0, 0.1, size=(BATCH, WAV_LEN)).astype(np.float32)
-    wav = jnp.asarray(wav_np)
+    wav = jnp.asarray(
+        rng.normal(0, 0.1, size=(args.batch, 64600)).astype(np.float32)
+    )
 
-    init_start = time.time()
-    variables = model.init(jax.random.PRNGKey(0), wav[:1], train=False)
-    params = variables["params"]
-    print(f"# init {time.time() - init_start:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    init_fn = jax.jit(lambda key: model.init(key, wav[:1], train=False))
+    params = init_fn(jax.random.PRNGKey(0))["params"]
+    jax.block_until_ready(params)
+    print(f"# init {time.time() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit
     def forward(params, wav):
         return model.apply({"params": params}, wav, train=False)["score"]
 
-    compile_start = time.time()
-    forward(params, wav).block_until_ready()
-    print(f"# compile+first-run {time.time() - compile_start:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    first = jax.device_get(forward(params, wav))
+    print(f"# compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
+    assert np.all(np.isfinite(first)), "non-finite scores"
 
-    for _ in range(WARMUP_ITERS):
-        forward(params, wav).block_until_ready()
+    for _ in range(args.warmup):
+        jax.device_get(forward(params, wav))
 
+    # Timed: keep the device pipeline full, then force completion of the
+    # final result; every iteration's scores are fetched so no execution
+    # can be skipped or deferred past the timer.
     start = time.time()
-    for _ in range(TIMED_ITERS):
-        score = forward(params, wav)
-    score.block_until_ready()
+    for _ in range(args.iters):
+        scores = jax.device_get(forward(params, wav))
     elapsed = time.time() - start
 
-    utts_per_sec = BATCH * TIMED_ITERS / elapsed
+    utts_per_sec = args.batch * args.iters / elapsed
     print(
         json.dumps(
             {

@@ -1,0 +1,102 @@
+"""ctypes bindings for the native FLAC decoder (native/flac).
+
+Auto-builds ``libslsaudio.so`` with make/g++ on first use if missing.
+Exposes:
+
+- ``read_flac(path)``            -> float32 mono array at native rate
+- ``decode_batch(paths, cut)``   -> [N, cut] float32, multi-threaded
+  native decode with repeat-tile padding (reference `pad` semantics,
+  data_utils_SSL.py:58-65) and zero-fill for unreadable files
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+PathLike = Union[str, Path]
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native" / "flac"
+_LIB_PATH = _NATIVE_DIR / "libslsaudio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+# generous cap: 10 minutes at 16 kHz (In-the-Wild clips are << this)
+MAX_SAMPLES = 16000 * 600
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", str(_NATIVE_DIR), "libslsaudio.so"],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            _build()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.slsaudio_decode_flac_file.restype = ctypes.c_long
+        lib.slsaudio_decode_flac_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.slsaudio_decode_batch.restype = ctypes.c_int
+        lib.slsaudio_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return lib
+
+
+def read_flac(path: PathLike, max_samples: int = MAX_SAMPLES) -> np.ndarray:
+    """Decode one FLAC file to float32 mono in [-1, 1].
+
+    Raises on unreadable/invalid files (callers implement zero-fallback)."""
+    lib = _load()
+    buf = np.empty(max_samples, np.float32)
+    rate = ctypes.c_int(0)
+    n = lib.slsaudio_decode_flac_file(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples,
+        ctypes.byref(rate),
+    )
+    if n < 0:
+        raise ValueError(f"failed to decode FLAC: {path}")
+    return buf[:n].copy()
+
+
+def decode_batch(
+    paths: Sequence[PathLike], cut: int, n_threads: int = 0
+) -> np.ndarray:
+    """Decode + pad/tile a whole batch natively.  Returns [N, cut] float32;
+    failed files come back as zero rows."""
+    lib = _load()
+    n = len(paths)
+    out = np.zeros((n, cut), np.float32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.slsaudio_decode_batch(
+        arr, n, cut, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out

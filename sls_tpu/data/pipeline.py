@@ -137,6 +137,8 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        all_flac = all(p.suffix.lower() == ".flac" for p in self.index.paths)
+
         def assemble(batch_idx: int) -> Batch:
             lo = batch_idx * self.batch_size
             sel = order[lo : lo + self.batch_size]
@@ -148,9 +150,17 @@ class BatchLoader:
                                       if len(sel) else np.zeros(pad, np.int64)])
                 while len(sel) < self.batch_size:
                     sel = np.concatenate([sel, sel[: self.batch_size - len(sel)]])
-            wavs = np.stack(
-                [_decode_one(self.index.paths[i], self.cut) for i in sel]
-            )
+            if all_flac:
+                # single native call: parallel decode + pad/tile in C++
+                from sls_tpu.data.flac import decode_batch
+
+                wavs = decode_batch(
+                    [self.index.paths[i] for i in sel], self.cut, n_threads=2
+                )
+            else:
+                wavs = np.stack(
+                    [_decode_one(self.index.paths[i], self.cut) for i in sel]
+                )
             labels = (
                 self.index.labels[sel] if self.index.labels is not None else None
             )

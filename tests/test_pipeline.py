@@ -1,0 +1,82 @@
+"""BatchLoader tests: ordering, shuffling, static shapes, FLAC fast path."""
+
+import numpy as np
+import pytest
+
+from sls_tpu.data.pipeline import ArrayLoader, BatchLoader, DatasetIndex
+from tests.flac_encoder import encode_flac
+
+
+@pytest.fixture
+def flac_dataset(tmp_path):
+    flac_dir = tmp_path / "flac"
+    flac_dir.mkdir()
+    utts, labels = [], {}
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        utt = f"U_{i:03d}"
+        samples = np.full(500 + 100 * i, 1000 + i, np.int64)
+        (flac_dir / f"{utt}.flac").write_bytes(
+            encode_flac([samples], mode="constant")
+        )
+        utts.append(utt)
+        labels[utt] = i % 2
+    return tmp_path, utts, labels
+
+
+def test_loader_order_and_labels(flac_dataset):
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+    loader = BatchLoader(index, batch_size=4, cut=800, num_threads=3)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    # order preserved without shuffle
+    assert batches[0].utt_ids[:4] == utts[:4]
+    # constant value identifies the right file
+    assert batches[0].wav[0, 0] == pytest.approx((1000) / 32768.0, abs=1e-6)
+    assert batches[0].wav.shape == (4, 800)
+    np.testing.assert_array_equal(batches[0].labels, [0, 1, 0, 1])
+    # final batch tiled to static shape, tail marked invalid
+    assert batches[2].wav.shape == (4, 800)
+    np.testing.assert_array_equal(batches[2].valid, [True, True, False, False])
+
+
+def test_loader_shuffle_deterministic(flac_dataset):
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+    loader = BatchLoader(index, batch_size=5, cut=800, shuffle=True, seed=7)
+    ids_a = [u for b in loader.epoch(3) for u in b.utt_ids]
+    ids_b = [u for b in loader.epoch(3) for u in b.utt_ids]
+    ids_c = [u for b in loader.epoch(4) for u in b.utt_ids]
+    assert ids_a == ids_b  # same (seed, epoch) -> same order
+    assert ids_a != ids_c  # different epoch -> different order
+    assert sorted(ids_a) == sorted(utts)
+
+
+def test_loader_pad_tile_semantics(flac_dataset):
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+    loader = BatchLoader(index, batch_size=10, cut=1200)
+    (batch,) = list(loader.epoch(0))
+    # U_000 is 500 samples of constant 1000 -> tiled to 1200
+    np.testing.assert_allclose(
+        batch.wav[0], np.full(1200, 1000 / 32768.0, np.float32), atol=1e-6
+    )
+
+
+def test_limit_batches(flac_dataset):
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+    loader = BatchLoader(index, batch_size=2, cut=400, limit_batches=2)
+    assert loader.num_batches() == 2
+    assert len(list(loader.epoch(0))) == 2
+
+
+def test_array_loader_tail():
+    wavs = np.arange(14 * 8, dtype=np.float32).reshape(14, 8)
+    labels = np.arange(14) % 2
+    loader = ArrayLoader(wavs, labels, batch_size=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 4
+    assert batches[-1].wav.shape == (4, 8)
+    np.testing.assert_array_equal(batches[-1].valid, [True, True, False, False])
