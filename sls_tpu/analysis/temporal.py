@@ -72,14 +72,21 @@ def flip_counts(codes) -> np.ndarray:
     return (a[:, 1:] != a[:, :-1]).sum(axis=1)
 
 
-def boundary_discontinuity(codes, window: int) -> Dict[str, float]:
+def boundary_discontinuity(
+    codes, window: int, overlap: bool = False
+) -> Dict[str, float]:
     """Interior vs window-boundary Jaccard and the discontinuity ratio
     (reference result: 0.992 vs 0.823, discontinuity 0.169 at w=8;
-    research_summary_table.md:26-28)."""
+    research_summary_table.md:26-28).
+
+    ``overlap=True`` places boundaries at the 50%-overlap stride (w//2)
+    instead of w — the overlap-window model's boundary grid
+    (reference: eval_overlap_clean.py:60-85)."""
     j = jaccard_consecutive(codes)  # [B, T-1]; j[:, t] spans t -> t+1
     T1 = j.shape[1]
     t = np.arange(T1)
-    is_boundary = (t + 1) % window == 0
+    step = max(1, window // 2) if overlap else window
+    is_boundary = (t + 1) % step == 0
     interior = float(j[:, ~is_boundary].mean()) if (~is_boundary).any() else 1.0
     boundary = float(j[:, is_boundary].mean()) if is_boundary.any() else 1.0
     disc = (interior - boundary) / interior if interior > 0 else 0.0

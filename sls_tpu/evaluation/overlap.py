@@ -1,0 +1,171 @@
+"""Overlap-window evaluation: joint scoring + temporal-stability pass,
+and full-utterance windowed scoring.
+
+Re-provides the reference's eval_overlap family in one clean driver
+(reference: eval_overlap_clean.py — stability of the overlap-window
+model's SAE codes; eval_overlap_eer.py — EER of the overlap model;
+overlap_eer_results.json / overlap_eval_5k_results.json artifacts), plus
+the natural extension those scripts gesture at: variable-length
+utterances scored by overlapping 64,600-sample waveform windows
+(BASELINE config #5, streamed In-the-Wild eval).
+
+One forward pass serves both numbers: the jitted step returns scores AND
+sparse codes, so the stability statistics come for free with scoring
+(the reference ran separate jobs for each).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sls_tpu.analysis.temporal import boundary_discontinuity, mean_temporal_jaccard
+from sls_tpu.metrics.eer import compute_eer
+
+
+def make_scoring_step(model, mesh=None):
+    """Jitted step returning scores + active-feature masks."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def step(params, wav):
+        out = model.apply({"params": params}, wav, train=False)
+        return {
+            "score": out["score"],
+            "active": (out["codes"] > 0).astype(jnp.bfloat16),
+        }
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data), out_shardings=None)
+
+
+def overlap_stability_eval(
+    model,
+    params,
+    loader,
+    window: int = 8,
+    mesh=None,
+    labels: Optional[Dict[str, int]] = None,
+    max_samples: Optional[int] = None,
+) -> Dict:
+    """Score every utterance and accumulate overlap-boundary stability.
+
+    Returns the overlap_eer_results.json-shaped dict: per-utterance
+    scores, interior/boundary Jaccard at the overlap stride, mean
+    Jaccard, and EER when labels are given.
+    """
+    from sls_tpu.parallel.mesh import shard_batch
+
+    step = make_scoring_step(model, mesh)
+    scores: Dict[str, float] = {}
+    interior, boundary, jaccard = [], [], []
+    n_seen = 0
+
+    for batch in loader.epoch(0):
+        wav = jnp.asarray(batch.wav)
+        if mesh is not None:
+            wav = shard_batch(wav, mesh)
+        out = step(params, wav)
+        s = np.asarray(out["score"])
+        active = np.asarray(out["active"], dtype=np.float32)
+        v = batch.valid
+        for utt, ok, score in zip(batch.utt_ids, v, s):
+            if ok:
+                scores[utt] = float(score)
+        stats = boundary_discontinuity(active[v], window, overlap=True)
+        interior.append(stats["interior_jaccard"])
+        boundary.append(stats["boundary_jaccard"])
+        jaccard.append(mean_temporal_jaccard(active[v]))
+        n_seen += int(v.sum())
+        if max_samples is not None and n_seen >= max_samples:
+            break
+
+    interior_m = float(np.mean(interior)) if interior else 1.0
+    boundary_m = float(np.mean(boundary)) if boundary else 1.0
+    result = {
+        "num_samples": n_seen,
+        "scores": scores,
+        "temporal_stability": {
+            "mean_jaccard": float(np.mean(jaccard)) if jaccard else 1.0,
+            "interior": interior_m,
+            "boundary": boundary_m,
+            "discontinuity_pct": 100.0 * (interior_m - boundary_m)
+            / max(interior_m, 1e-12),
+        },
+    }
+    if labels:
+        bona = np.array([s for u, s in scores.items() if labels.get(u) == 1])
+        spoof = np.array([s for u, s in scores.items() if labels.get(u) == 0])
+        if len(bona) and len(spoof):
+            eer, _ = compute_eer(bona, spoof)
+            result["eer_pct"] = 100.0 * eer
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Full-utterance windowed scoring (variable-length audio)
+
+
+def extract_windows(
+    wav: np.ndarray, window: int = 64600, stride: Optional[int] = None
+) -> np.ndarray:
+    """Overlapping fixed-size windows over a full utterance.
+
+    Short audio is repeat-tiled to one window (the reference ``pad``);
+    the final window is right-aligned so the tail is always covered.
+    Returns [n_windows, window].
+    """
+    stride = stride or window // 2
+    n = wav.shape[0]
+    if n <= window:
+        from sls_tpu.data.audio import pad_or_tile
+
+        return pad_or_tile(wav, window)[None, :]
+    starts = list(range(0, n - window + 1, stride))
+    if starts[-1] + window < n:
+        starts.append(n - window)
+    return np.stack([wav[s : s + window] for s in starts])
+
+
+def score_full_utterance(
+    model, params, wav: np.ndarray, window: int = 64600,
+    stride: Optional[int] = None, batch_size: int = 16,
+    aggregate: str = "mean",
+) -> Dict[str, float]:
+    """Score one variable-length utterance with overlapping windows.
+
+    Window scores are aggregated to a single P(bonafide):
+    'mean' (default), 'min' (a single spoofed span flags the clip), or
+    'max'.  Window count is padded to the batch size so XLA sees at most
+    ceil(n/batch) static shapes.
+    """
+    windows = extract_windows(np.asarray(wav, np.float32), window, stride)
+    n = len(windows)
+
+    @jax.jit
+    def fwd(params, w):
+        return model.apply({"params": params}, w, train=False)["score"]
+
+    scores = []
+    for lo in range(0, n, batch_size):
+        chunk = windows[lo : lo + batch_size]
+        if len(chunk) < batch_size:  # static shape: tile
+            reps = int(np.ceil(batch_size / len(chunk)))
+            padded = np.tile(chunk, (reps, 1))[:batch_size]
+            s = np.asarray(fwd(params, jnp.asarray(padded)))[: len(chunk)]
+        else:
+            s = np.asarray(fwd(params, jnp.asarray(chunk)))
+        scores.append(s)
+    window_scores = np.concatenate(scores)
+
+    agg = {"mean": np.mean, "min": np.min, "max": np.max}[aggregate]
+    return {
+        "score": float(agg(window_scores)),
+        "n_windows": n,
+        "window_scores": window_scores,
+    }
