@@ -1,0 +1,246 @@
+"""Analysis CLI — the reference's ~35 analyze_*/probe_*/evaluate_* scripts
+as subcommands of one tool.
+
+    python -m sls_tpu.cli.analyze <command> --run_dir <dir> [options]
+
+Commands (reference script equivalents):
+  temporal     analyze_temporal_stability.py, analyze_window_limitations.py
+  sparsity     evaluate_sparsity.py, evaluate_window_topk_sparsity.py,
+               simple_sparsity_check.py
+  attribution  analyze_decision_relevance.py (gradient + ablation + cues)
+  importance   analyze_sae_neurons.py, per-model analyze_feature_importance
+  probe        probe_acoustic_asvspoof.py (acoustic correlation probe)
+  handcrafted  compare_handcrafted_features.py
+  overlap      eval_overlap_clean.py / eval_overlap_eer.py
+
+Each command writes a JSON report (and optionally PNG dashboards) to
+--output.  The model is rebuilt from the checkpoint's embedded config
+(checkpoint-as-config, reference: test_interpretability.py:33-47);
+data comes from dataset dirs or --synthetic for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def load_experiment(run_dir: str, checkpoint: Optional[str] = None):
+    """Rebuild (cfg, model, params) from a run directory's checkpoint."""
+    import jax.numpy as jnp
+
+    from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
+    from sls_tpu.config import ExperimentConfig, config_from_dict
+    from sls_tpu.models.detector import Detector
+
+    mgr = CheckpointManager(run_dir)
+    path = mgr.resolve_resume(checkpoint)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    raw, meta = load_checkpoint(path)
+    cfg = config_from_dict(ExperimentConfig, json.loads(meta["config_json"]))
+    model = Detector(cfg.model)
+    params = raw["state"]["params"] if "state" in raw else raw["params"]
+    return cfg, model, params
+
+
+def _collect_codes(model, params, loader, max_samples: int):
+    """Run batches through encode_sae; returns (codes, wavs, labels)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def enc(params, wav):
+        return model.apply({"params": params}, wav, method="encode_sae")
+
+    codes, wavs, labels = [], [], []
+    n = 0
+    for batch in loader.epoch(0):
+        out = enc(params, jnp.asarray(batch.wav))
+        v = batch.valid
+        codes.append(np.asarray(out["codes"])[v])
+        wavs.append(batch.wav[v])
+        if batch.labels is not None:
+            labels.append(batch.labels[v])
+        n += int(v.sum())
+        if n >= max_samples:
+            break
+    return (
+        np.concatenate(codes)[:max_samples],
+        np.concatenate(wavs)[:max_samples],
+        np.concatenate(labels)[:max_samples] if labels else None,
+    )
+
+
+def _make_loader(args, cfg):
+    """Dataset loader from dirs, or a synthetic loader for smoke runs."""
+    from sls_tpu.data.pipeline import ArrayLoader, BatchLoader, DatasetIndex
+    from sls_tpu.data.protocols import parse_train_protocol
+
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        n = max(args.num_samples, 2 * args.batch_size)
+        wavs = rng.normal(0, 0.1, (n, cfg.train.cut_length)).astype(np.float32)
+        labels = rng.integers(0, 2, n)
+        return ArrayLoader(wavs, labels, batch_size=args.batch_size)
+
+    labels_map, ids = parse_train_protocol(args.protocol)
+    index = DatasetIndex.for_train(ids, labels_map, args.database_path,
+                                   ext=args.audio_ext)
+    return BatchLoader(index, args.batch_size, cut=cfg.train.cut_length)
+
+
+def cmd_temporal(args, cfg, model, params, loader):
+    from sls_tpu.analysis.temporal import multi_scale_structure, temporal_summary
+
+    codes, _, _ = _collect_codes(model, params, loader, args.num_samples)
+    report = {
+        "summary": temporal_summary(codes, cfg.model.sae.window_size),
+        "multi_scale": multi_scale_structure(codes),
+        "num_samples": int(codes.shape[0]),
+    }
+    return report
+
+
+def cmd_sparsity(args, cfg, model, params, loader):
+    from sls_tpu.analysis.sparsity import sparsity_stats, weight_diagnostics
+
+    codes, _, _ = _collect_codes(model, params, loader, args.num_samples)
+    return {
+        "activations": sparsity_stats(codes),
+        "weights": weight_diagnostics(np.asarray(params["sae"]["W_dec"])),
+        "expected_k": cfg.model.sae.k,
+    }
+
+
+def cmd_attribution(args, cfg, model, params, loader):
+    import jax.numpy as jnp
+
+    from sls_tpu.analysis.attribution import (
+        ablation_attribution,
+        attribution_scores,
+        top_k_cues,
+        within_class_cue_consistency,
+    )
+
+    codes, _, labels = _collect_codes(model, params, loader, args.num_samples)
+    scores = attribution_scores(model, params, jnp.asarray(codes))
+    cues = top_k_cues(scores, k=args.top_k)
+    report = {
+        "num_samples": int(codes.shape[0]),
+        "top_cues_per_sample": cues.tolist(),
+    }
+    if labels is not None:
+        report["cue_consistency"] = within_class_cue_consistency(cues, labels)
+    if args.ablation:
+        global_top = np.argsort(-scores.sum(0))[: args.top_k]
+        deltas = ablation_attribution(model, params, jnp.asarray(codes),
+                                      global_top)
+        report["ablation"] = {
+            "features": global_top.tolist(),
+            "mean_prob_drop": deltas.mean(0).tolist(),
+        }
+    return report
+
+
+def cmd_importance(args, cfg, model, params, loader):
+    from sls_tpu.analysis.importance import (
+        class_feature_importance,
+        interpretability_info,
+    )
+
+    codes, _, labels = _collect_codes(model, params, loader, args.num_samples)
+    info = interpretability_info(codes)
+    report = {"mean_sparsity": float(info["sparsity"].mean())}
+    if labels is not None:
+        imp = class_feature_importance(info["avg_activation"], labels)
+        report["most_discriminative_features"] = imp[
+            "most_discriminative_features"
+        ].tolist()
+        report["discriminative_scores"] = imp["discriminative_scores"].tolist()
+    return report
+
+
+def cmd_probe(args, cfg, model, params, loader):
+    from sls_tpu.analysis.probes import acoustic_probe
+
+    codes, wavs, _ = _collect_codes(model, params, loader, args.num_samples)
+    out = acoustic_probe(codes, wavs, top_k=args.top_k)
+    return {
+        prop: {
+            "top_features": d["top_features"].tolist(),
+            "top_correlations": d["top_correlations"].tolist(),
+        }
+        for prop, d in out.items()
+    }
+
+
+def cmd_handcrafted(args, cfg, model, params, loader):
+    from sls_tpu.analysis.probes import handcrafted_stability_comparison
+
+    codes, wavs, _ = _collect_codes(model, params, loader, args.num_samples)
+    return handcrafted_stability_comparison(codes, wavs)
+
+
+def cmd_overlap(args, cfg, model, params, loader):
+    from sls_tpu.evaluation.overlap import overlap_stability_eval
+
+    res = overlap_stability_eval(
+        model, params, loader, window=cfg.model.sae.window_size,
+        max_samples=args.num_samples,
+    )
+    res.pop("scores")  # keep the JSON small; scores go via the eval CLI
+    return res
+
+
+COMMANDS = {
+    "temporal": cmd_temporal,
+    "sparsity": cmd_sparsity,
+    "attribution": cmd_attribution,
+    "importance": cmd_importance,
+    "probe": cmd_probe,
+    "handcrafted": cmd_handcrafted,
+    "overlap": cmd_overlap,
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="sls_tpu analysis suite")
+    p.add_argument("command", choices=sorted(COMMANDS))
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--output", default=None, help="JSON report path")
+    p.add_argument("--num_samples", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--top_k", type=int, default=20)
+    p.add_argument("--ablation", action="store_true")
+    p.add_argument("--database_path", default=None)
+    p.add_argument("--protocol", default=None)
+    p.add_argument("--audio_ext", default="flac")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic audio smoke run (no dataset needed)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, model, params = load_experiment(args.run_dir, args.checkpoint)
+    loader = _make_loader(args, cfg)
+    report = COMMANDS[args.command](args, cfg, model, params, loader)
+    text = json.dumps(report, indent=2, default=float)
+    if args.output:
+        Path(args.output).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.output).write_text(text)
+        print(f"wrote {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

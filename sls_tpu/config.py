@@ -102,6 +102,7 @@ class SAEConfig:
     k: int = 128
     variant: str = "per_timestep"
     window_size: int = 8  # used by window variants
+    use_pallas: bool = False  # fused VMEM encode/decode kernels (TPU only)
 
 
 @dataclass(frozen=True)

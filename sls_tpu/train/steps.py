@@ -52,6 +52,8 @@ def create_train_state(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         sample_wav,
         train=False,
+        # CPC head params only materialize when the CPC branch runs
+        compute_cpc=cfg.model.use_cpc,
     )
     tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
     return TrainState.create(

@@ -1,0 +1,139 @@
+"""Tests for the analysis CLI, monitor, autotrain helpers, and the
+standalone 2019 scorer."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from sls_tpu.cli.analyze import main as analyze_main
+from sls_tpu.cli.monitor import read_log, render
+from sls_tpu.cli.autotrain import last_epoch
+from sls_tpu.config import (
+    ExperimentConfig,
+    RawBoostConfig,
+    TrainConfig,
+    config_from_dict,
+    config_to_json,
+)
+from sls_tpu.scores.standalone import (
+    main as standalone_main,
+    roc_interp_eer,
+    score_2019_protocol,
+    simplified_min_dcf,
+)
+from sls_tpu.scores.writer import ScoreWriter
+from tests.test_detector_train import WAV_LEN, synthetic_batch, tiny_model_config
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """Train a tiny model for 1 epoch so analysis has a real checkpoint."""
+    from sls_tpu.data.pipeline import ArrayLoader
+    from sls_tpu.train.loop import Trainer
+
+    run_dir = tmp_path_factory.mktemp("analysis_run")
+    cfg = ExperimentConfig(
+        model=tiny_model_config(),
+        train=TrainConfig(
+            batch_size=8, lr=1e-3, num_epochs=1, cut_length=WAV_LEN,
+            rawboost=dataclasses.replace(RawBoostConfig(), algo=0),
+        ),
+    )
+    rng = np.random.default_rng(0)
+    wav, y = synthetic_batch(rng, 24)
+    loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+    trainer = Trainer(cfg, run_dir, tensorboard=False)
+    trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+    trainer.fit(loader, loader)
+    return str(run_dir), cfg
+
+
+def test_config_roundtrip(tiny_run):
+    _, cfg = tiny_run
+    restored = config_from_dict(
+        ExperimentConfig, json.loads(config_to_json(cfg))
+    )
+    assert restored.model.sae.dict_size == cfg.model.sae.dict_size
+    assert restored.model.encoder.conv_layers == cfg.model.encoder.conv_layers
+    assert restored.train.lr == cfg.train.lr
+    assert restored.model.sae.variant == cfg.model.sae.variant
+
+
+@pytest.mark.parametrize(
+    "command", ["temporal", "sparsity", "importance", "probe", "overlap"]
+)
+def test_analyze_commands_synthetic(tiny_run, tmp_path, command):
+    run_dir, _ = tiny_run
+    out = tmp_path / f"{command}.json"
+    rc = analyze_main([
+        command, "--run_dir", run_dir, "--synthetic",
+        "--num_samples", "16", "--batch_size", "8",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report  # non-empty JSON
+
+
+def test_analyze_attribution_with_ablation(tiny_run, tmp_path):
+    run_dir, _ = tiny_run
+    out = tmp_path / "attr.json"
+    rc = analyze_main([
+        "attribution", "--run_dir", run_dir, "--synthetic",
+        "--num_samples", "8", "--batch_size", "8", "--top_k", "4",
+        "--ablation", "--output", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert "cue_consistency" in report
+    assert len(report["ablation"]["features"]) == 4
+
+
+def test_monitor_render(tiny_run):
+    run_dir, _ = tiny_run
+    rows = read_log(run_dir)
+    assert len(rows) == 1
+    text = render(rows)
+    assert "best val EER" in text
+    assert last_epoch(run_dir) == 0
+    assert last_epoch("/nonexistent") == -1
+
+
+class TestStandaloneScorer:
+    def test_roc_interp_eer_separable(self):
+        eer, _ = roc_interp_eer(np.array([0.9, 0.8, 0.7]),
+                                np.array([0.1, 0.2, 0.3]))
+        assert eer == pytest.approx(0.0, abs=1e-6)
+
+    def test_min_dcf_bounds(self):
+        rng = np.random.default_rng(0)
+        bona = rng.normal(1, 1, 200)
+        spoof = rng.normal(-1, 1, 200)
+        dcf = simplified_min_dcf(bona, spoof)
+        assert 0 < dcf < 1
+        perfect = simplified_min_dcf(bona + 100, spoof)
+        assert perfect == pytest.approx(0.0)
+
+    def test_score_2019_protocol(self, tmp_path, capsys):
+        utts = [f"LA_E_{i:04d}" for i in range(30)]
+        labels = ["bonafide" if i % 3 == 0 else "spoof" for i in range(30)]
+        proto = tmp_path / "proto.txt"
+        proto.write_text(
+            "\n".join(f"spk {u} - - {l}" for u, l in zip(utts, labels)) + "\n"
+        )
+        rng = np.random.default_rng(1)
+        score_file = tmp_path / "scores.txt"
+        with ScoreWriter(score_file) as w:
+            w.write_batch(
+                utts,
+                [(3 if l == "bonafide" else -3) + rng.normal(0, 0.1)
+                 for l in labels],
+            )
+        res = score_2019_protocol(str(score_file), str(proto))
+        assert res["n_trials"] == 30
+        assert res["n_bonafide"] == 10
+        assert res["eer"] == 0.0
+        assert standalone_main([str(score_file), str(proto)]) == 0
+        assert "EER: 0.0000%" in capsys.readouterr().out
