@@ -197,6 +197,80 @@ def cmd_overlap(args, cfg, model, params, loader):
     return res
 
 
+def cmd_inspect(args, cfg, model, params, loader):
+    """Checkpoint smoke test: architecture introspection from weights +
+    dummy-audio forward + interpretability quality score 0-3
+    (reference: test_interpretability.py:17-191)."""
+    import jax
+    import jax.numpy as jnp
+
+    report = {"config": json.loads(json.dumps(
+        {"sae_dict_size": cfg.model.sae.dict_size,
+         "sae_k": cfg.model.sae.k,
+         "variant": cfg.model.sae.variant,
+         "use_sparse_features": cfg.model.use_sparse_features}))}
+
+    # architecture inferred from weight shapes (checkpoint-as-config check)
+    w_enc = np.asarray(params["sae"]["W_enc"])
+    cls_in = np.asarray(params["classifier"]["fc1"]["kernel"]).shape[0]
+    report["inferred"] = {
+        "activation_dim": int(w_enc.shape[0]),
+        "dict_size": int(w_enc.shape[1]),
+        "classifier_input_dim": int(cls_in),
+        "uses_sparse_features": bool(cls_in == w_enc.shape[1]),
+    }
+    consistent = (
+        report["inferred"]["dict_size"] == cfg.model.sae.dict_size
+        and report["inferred"]["uses_sparse_features"]
+        == cfg.model.use_sparse_features
+    )
+    report["config_weight_consistency"] = bool(consistent)
+
+    # dummy forward + quality scoring
+    rng = np.random.default_rng(args.seed)
+    wav = jnp.asarray(
+        rng.normal(0, 0.1, (2, cfg.train.cut_length)).astype(np.float32)
+    )
+    out = model.apply({"params": params}, wav, train=False)
+    codes = np.asarray(out["codes"])
+    active_per_frame = (codes > 0).sum(-1).mean()
+    feature_diversity = ((codes > 0).any(axis=(0, 1))).mean()
+    finite = bool(np.isfinite(np.asarray(out["log_probs"])).all())
+
+    quality = int(finite) \
+        + int(0 < active_per_frame <= cfg.model.sae.k) \
+        + int(feature_diversity > 0.01)
+    report["forward"] = {
+        "finite_outputs": finite,
+        "mean_active_per_frame": float(active_per_frame),
+        "feature_diversity": float(feature_diversity),
+        "quality_score": quality,  # 0-3
+    }
+    return report
+
+
+def cmd_compare(args, cfg, model, params, loader):
+    """Side-by-side temporal metrics for two checkpoints
+    (reference: compare_temporal_models.py, compare_temporal_stability.py)."""
+    from sls_tpu.analysis.temporal import temporal_summary
+
+    codes, _, _ = _collect_codes(model, params, loader, args.num_samples)
+    report = {"primary": temporal_summary(codes, cfg.model.sae.window_size)}
+    if args.compare_run_dir:
+        cfg2, model2, params2 = load_experiment(args.compare_run_dir)
+        codes2, _, _ = _collect_codes(model2, params2, loader,
+                                      args.num_samples)
+        report["secondary"] = temporal_summary(
+            codes2, cfg2.model.sae.window_size
+        )
+        report["delta"] = {
+            k: report["secondary"][k] - report["primary"][k]
+            for k in report["primary"]
+            if isinstance(report["primary"][k], float)
+        }
+    return report
+
+
 COMMANDS = {
     "temporal": cmd_temporal,
     "sparsity": cmd_sparsity,
@@ -205,6 +279,8 @@ COMMANDS = {
     "probe": cmd_probe,
     "handcrafted": cmd_handcrafted,
     "overlap": cmd_overlap,
+    "inspect": cmd_inspect,
+    "compare": cmd_compare,
 }
 
 
@@ -224,6 +300,8 @@ def build_parser():
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic audio smoke run (no dataset needed)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compare_run_dir", default=None,
+                   help="second run dir for the 'compare' command")
     return p
 
 
