@@ -164,11 +164,16 @@ def config_from_args(args) -> "ExperimentConfig":
 
 
 def load_pretrained_encoder(cp_path: str, encoder_cfg):
-    """Load + convert a fairseq XLS-R checkpoint to encoder params.
+    """Load + convert a pretrained XLS-R checkpoint to encoder params.
 
-    Handles raw fairseq dict checkpoints ({'model': state}), bare state
-    dicts, and pre-converted .npz archives."""
-    from sls_tpu.encoder.convert import fairseq_encoder_to_flax, strip_prefixes
+    Handles fairseq dict checkpoints ({'model': state}), bare state dicts,
+    HuggingFace Wav2Vec2Model state dicts (detected by the
+    'feature_projection' naming), and pre-converted .npz archives."""
+    from sls_tpu.encoder.convert import (
+        fairseq_encoder_to_flax,
+        hf_encoder_to_flax,
+        strip_prefixes,
+    )
 
     path = Path(cp_path)
     if path.suffix == ".npz":
@@ -179,7 +184,11 @@ def load_pretrained_encoder(cp_path: str, encoder_cfg):
         raw = torch.load(path, map_location="cpu", weights_only=True)
         state = raw.get("model", raw) if isinstance(raw, dict) else raw
         state = {k: v.numpy() for k, v in state.items()}
-    state = strip_prefixes(state, ("module.", "w2v_encoder.", "w2v_model."))
+    state = strip_prefixes(
+        state, ("module.", "w2v_encoder.", "w2v_model.", "wav2vec2.")
+    )
+    if any("feature_projection." in k for k in state):
+        return hf_encoder_to_flax(state, encoder_cfg)
     return fairseq_encoder_to_flax(state, encoder_cfg)
 
 

@@ -133,6 +133,69 @@ def fairseq_encoder_to_flax(
     return params
 
 
+def hf_encoder_to_flax(
+    state: Mapping[str, Any], cfg: XLSRConfig
+) -> Dict[str, Any]:
+    """Convert a HuggingFace ``Wav2Vec2Model`` state dict to XLSREncoder
+    params.
+
+    Supports the XLS-R layout (``do_stable_layer_norm=True``,
+    ``feat_extract_norm='layer'``) — HF's port of the same fairseq
+    checkpoints, useful both as an independent golden reference and as a
+    weights source when only HF-format XLS-R weights are on disk.
+    """
+    s = strip_prefixes(state, ("wav2vec2.",))
+    params: Dict[str, Any] = {}
+
+    fe: Dict[str, Any] = {}
+    for i in range(len(cfg.conv_layers)):
+        base = f"feature_extractor.conv_layers.{i}"
+        fe[f"conv_{i}"] = _conv1d(s, f"{base}.conv")
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"norm_{i}"] = _layernorm(s, f"{base}.layer_norm")
+        elif cfg.extractor_mode == "default" and i == 0:
+            fe["norm_0"] = {
+                "GroupNorm_0": {
+                    "scale": s[f"{base}.layer_norm.weight"],
+                    "bias": s[f"{base}.layer_norm.bias"],
+                }
+            }
+    params["feature_extractor"] = fe
+
+    params["post_extract_norm"] = _layernorm(s, "feature_projection.layer_norm")
+    params["post_extract_proj"] = _linear(s, "feature_projection.projection")
+
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in s:
+        w = fold_weight_norm(s[f"{pc}.weight_g"], s[f"{pc}.weight_v"])
+    elif f"{pc}.parametrizations.weight.original0" in s:
+        w = fold_weight_norm(
+            s[f"{pc}.parametrizations.weight.original0"],
+            s[f"{pc}.parametrizations.weight.original1"],
+        )
+    else:
+        w = s[f"{pc}.weight"]
+    params["pos_conv"] = {
+        "conv": {"kernel": np.transpose(w, (2, 1, 0)), "bias": s[f"{pc}.bias"]}
+    }
+
+    for i in range(cfg.encoder_layers):
+        base = f"encoder.layers.{i}"
+        params[f"layer_{i}"] = {
+            "self_attn": {
+                proj: _linear(s, f"{base}.attention.{proj}")
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "self_attn_layer_norm": _layernorm(s, f"{base}.layer_norm"),
+            "fc1": _linear(s, f"{base}.feed_forward.intermediate_dense"),
+            "fc2": _linear(s, f"{base}.feed_forward.output_dense"),
+            "final_layer_norm": _layernorm(s, f"{base}.final_layer_norm"),
+        }
+
+    params["encoder_layer_norm"] = _layernorm(s, "encoder.layer_norm")
+    return params
+
+
 def sae_state_to_flax(state: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
     """Convert a reference AutoEncoderTopK state dict (model.py:42-104):
     encoder.weight [M,D], encoder.bias, decoder.weight [D,M], b_dec, k."""
