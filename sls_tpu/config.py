@@ -56,6 +56,8 @@ class XLSRConfig:
 
     # compute dtype for matmul-heavy ops; norms/softmax stay fp32
     dtype: Any = jnp.bfloat16
+    # rematerialize transformer layers (trade FLOPs for HBM at big batches)
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -119,6 +121,9 @@ class ModelConfig:
     """Full detector: encoder + (optional) SAE + classifier head."""
 
     encoder: XLSRConfig = field(default_factory=XLSRConfig)
+    # stop-gradient the SSL features: the legacy ModelSAE trains only the
+    # SAE + head on a frozen encoder (reference: model_backup.py:358-359)
+    freeze_encoder: bool = False
     use_sae: bool = True
     use_sparse_features: bool = True  # classify on 4096-d codes vs 1024-d recon
     sae: SAEConfig = field(default_factory=SAEConfig)

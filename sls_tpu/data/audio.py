@@ -79,8 +79,28 @@ def read_wav(path: PathLike) -> np.ndarray:
     return data
 
 
-def load_audio(path: PathLike) -> np.ndarray:
-    """Load FLAC or WAV to float32 mono at native rate.
+def resample_to_16k(x: np.ndarray, sr: int) -> np.ndarray:
+    """Polyphase resample to 16 kHz (reference: torchaudio Resample in
+    eval_2021_LA_torchaudio.py:54-56 for off-rate files)."""
+    if sr == SAMPLE_RATE or x.size == 0:
+        return x
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(SAMPLE_RATE, sr)
+    return resample_poly(x, SAMPLE_RATE // g, sr // g).astype(np.float32)
+
+
+def read_wav_rate(path: PathLike):
+    """(samples, sample_rate) for a WAV file."""
+    with wave.open(str(path), "rb") as w:
+        rate = w.getframerate()
+    return read_wav(path), rate
+
+
+def load_audio(path: PathLike, target_sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Load FLAC or WAV to float32 mono, resampled to ``target_sr``.
 
     Corrupt or unreadable files return an empty array so batch-level
     zero-fallback can keep score files complete
@@ -89,12 +109,14 @@ def load_audio(path: PathLike) -> np.ndarray:
     p = Path(path)
     try:
         if p.suffix.lower() == ".wav":
-            return read_wav(p)
-        if p.suffix.lower() == ".flac":
-            from sls_tpu.data.flac import read_flac
+            data, sr = read_wav_rate(p)
+        elif p.suffix.lower() == ".flac":
+            from sls_tpu.data.flac import read_flac_rate
 
-            return read_flac(p)
-        raise ValueError(f"unsupported audio format: {p.suffix}")
+            data, sr = read_flac_rate(p)
+        else:
+            raise ValueError(f"unsupported audio format: {p.suffix}")
+        return resample_to_16k(data, sr) if target_sr == SAMPLE_RATE else data
     except FileNotFoundError:
         raise
     except Exception:

@@ -66,8 +66,10 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
-def read_flac(path: PathLike, max_samples: int = MAX_SAMPLES) -> np.ndarray:
-    """Decode one FLAC file to float32 mono in [-1, 1].
+def read_flac_rate(
+    path: PathLike, max_samples: int = MAX_SAMPLES
+):
+    """Decode one FLAC file -> (float32 mono in [-1, 1], sample_rate).
 
     Raises on unreadable/invalid files (callers implement zero-fallback)."""
     lib = _load()
@@ -81,7 +83,12 @@ def read_flac(path: PathLike, max_samples: int = MAX_SAMPLES) -> np.ndarray:
     )
     if n < 0:
         raise ValueError(f"failed to decode FLAC: {path}")
-    return buf[:n].copy()
+    return buf[:n].copy(), int(rate.value)
+
+
+def read_flac(path: PathLike, max_samples: int = MAX_SAMPLES) -> np.ndarray:
+    """Decode one FLAC file to float32 mono in [-1, 1]."""
+    return read_flac_rate(path, max_samples)[0]
 
 
 def decode_batch(

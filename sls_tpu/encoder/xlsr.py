@@ -240,7 +240,7 @@ class XLSREncoder(nn.Module):
 
         hidden_states: List[jnp.ndarray] = []
         layer_cls = TransformerLayer
-        if getattr(cfg, "remat", False):
+        if cfg.remat:
             layer_cls = nn.remat(TransformerLayer)
         for i in range(cfg.encoder_layers):
             layer = layer_cls(cfg, name=f"layer_{i}")

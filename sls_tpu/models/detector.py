@@ -69,6 +69,8 @@ class Detector(nn.Module):
         """
         cfg = self.config
         feats = self.encoder(wav, train=train)  # [B, T, 1024]
+        if cfg.freeze_encoder:
+            feats = jax.lax.stop_gradient(feats)
         feats32 = feats.astype(jnp.float32)
 
         out: Dict[str, jnp.ndarray] = {"features": feats32}

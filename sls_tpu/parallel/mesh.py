@@ -60,3 +60,28 @@ def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_devices(mesh: Mesh, wav, labels=None, valid=None, axis="data"):
+    """Pad a host batch so axis 0 divides the mesh's data axis.
+
+    Padding rows tile row 0 and are marked invalid; losses/metrics mask
+    them out (the reference's torch DataLoader had no such constraint —
+    any batch size must keep working, e.g. the default 14 on 8 chips).
+    Returns (wav, labels, valid) as numpy arrays.
+    """
+    wav = np.asarray(wav)
+    n = wav.shape[0]
+    n_dev = mesh.shape[axis]
+    if valid is None:
+        valid = np.ones(n, bool)
+    else:
+        valid = np.asarray(valid, bool)
+    pad = (-n) % n_dev
+    if pad:
+        wav = np.concatenate([wav, np.repeat(wav[:1], pad, axis=0)])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+        if labels is not None:
+            labels = np.asarray(labels)
+            labels = np.concatenate([labels, np.repeat(labels[:1], pad)])
+    return wav, (None if labels is None else np.asarray(labels)), valid

@@ -84,6 +84,17 @@ class TopKSAE(nn.Module):
         the 3-D form, matching the reference's temporal_dim contract)."""
         return self.sparsify(self.pre_activations(x))
 
+    def encode_threshold(self, x: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
+        """JumpReLU-style inference: keep activations above a per-feature
+        threshold instead of TopK (reference: model_backup.py:75-108
+        'use_threshold' encode path with the ``threshold`` buffer).
+
+        Unlike TopK, the number of active features varies per frame; use
+        ``calibrate_threshold`` to derive thresholds that reproduce a
+        trained model's TopK sparsity level on average."""
+        acts = self.pre_activations(x)
+        return acts * (acts > threshold).astype(acts.dtype)
+
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
         if self.config.use_pallas:
             from sls_tpu.kernels.sae_kernels import sae_decode_fused

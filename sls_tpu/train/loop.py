@@ -27,7 +27,12 @@ from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
 from sls_tpu.config import ExperimentConfig, config_to_json
 from sls_tpu.metrics.eer import roc_eer
 from sls_tpu.models.detector import Detector
-from sls_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sls_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_devices,
+    replicate,
+    shard_batch,
+)
 from sls_tpu.train.steps import (
     TrainState,
     create_train_state,
@@ -123,9 +128,17 @@ class Trainer:
         self.state = replicate(state, self.mesh)
 
     def resume(self, explicit_path=None, fresh_start: bool = False) -> bool:
-        """Restore from the resume chain; returns True if resumed."""
+        """Restore from the resume chain; returns True if resumed.
+
+        Explicit paths ending in .pth/.pt are treated as reference PyTorch
+        detector checkpoints and converted (weights-only migration path;
+        reference checkpoints: main.py:753-764 with optional 'module.'
+        prefixes; epoch inferred from the filename as in main.py:380-399).
+        """
         if fresh_start:
             return False
+        if explicit_path and str(explicit_path).endswith((".pth", ".pt")):
+            return self._resume_from_torch(explicit_path)
         path = self.ckpt.resolve_resume(explicit_path)
         if path is None:
             return False
@@ -139,6 +152,29 @@ class Trainer:
             step=jnp.asarray(restored["step"]),
         )
         self.start_epoch = meta["epoch"] + 1
+        return True
+
+    def _resume_from_torch(self, path) -> bool:
+        """Weights-only restore from a reference PyTorch checkpoint."""
+        import re
+
+        import torch
+
+        from sls_tpu.encoder.convert import detector_state_to_flax
+
+        assert self.state is not None, "call init_state() before resume()"
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        state = raw.get("model", raw) if isinstance(raw, dict) else raw
+        state = {k: np.asarray(v) for k, v in state.items()}
+        params = detector_state_to_flax(state, self.cfg.model)
+        self.state = self.state.replace(
+            params=replicate(params, self.mesh)
+        )
+        m = re.search(r"epoch[_-]?(\d+)", str(path))
+        if isinstance(raw, dict) and "epoch" in raw:
+            self.start_epoch = int(raw["epoch"]) + 1
+        elif m:
+            self.start_epoch = int(m.group(1)) + 1
         return True
 
     def _state_tree(self):
@@ -160,27 +196,31 @@ class Trainer:
         labels_all: List[np.ndarray] = []
 
         for b_idx, batch in enumerate(loader.epoch(epoch)):
-            wav = jnp.asarray(batch.wav)
+            wav_np, labels_np, valid = pad_batch_to_devices(
+                self.mesh, batch.wav, batch.labels, batch.valid
+            )
+            wav = jnp.asarray(wav_np)
             if aug_cfg.algo in range(1, 9):
                 aug_key = jax.random.fold_in(
                     jax.random.fold_in(self.rng, epoch), b_idx
                 )
                 wav = rawboost_batch(aug_key, wav, aug_cfg)
-            labels = jnp.asarray(batch.labels)
-            wav, labels = shard_batch((wav, labels), self.mesh)
-            self.state, metrics = self.train_step(
-                self.state, wav, labels, self.rng
+            wav, labels, valid_dev = shard_batch(
+                (wav, jnp.asarray(labels_np), jnp.asarray(valid)), self.mesh
             )
-            bsz = int(batch.valid.sum())
+            self.state, metrics = self.train_step(
+                self.state, wav, labels, valid_dev, self.rng
+            )
+            bsz = int(valid.sum())
             n_seen += bsz
             sums["loss"] += float(metrics["loss"]) * bsz
             sums["cls"] += float(metrics["cls_loss"]) * bsz
             sums["sae"] += float(metrics["sae_loss"]) * bsz
             sums["cpc"] += float(metrics["cpc_loss"]) * bsz
             sums["correct"] += float(metrics["correct"])
-            s = np.asarray(metrics["scores"])[batch.valid]
+            s = np.asarray(metrics["scores"])[valid]
             scores_all.append(s)
-            labels_all.append(batch.labels[batch.valid])
+            labels_all.append(labels_np[valid])
 
         eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
         n = max(n_seen, 1)
@@ -201,23 +241,27 @@ class Trainer:
         scores_all: List[np.ndarray] = []
         labels_all: List[np.ndarray] = []
         for batch in loader.epoch(0):
-            wav = shard_batch(jnp.asarray(batch.wav), self.mesh)
+            wav_np, labels_np, valid = pad_batch_to_devices(
+                self.mesh, batch.wav, batch.labels, batch.valid
+            )
+            wav = shard_batch(jnp.asarray(wav_np), self.mesh)
             out = self.eval_step(self.state.params, wav)
             logp = np.asarray(out["log_probs"])
             s = np.asarray(out["score"])
-            v = batch.valid
+            v = valid
+            batch_labels = labels_np
             bsz = int(v.sum())
             n_seen += bsz
             loss_sum += float(
                 weighted_nll(
-                    jnp.asarray(logp[v]), jnp.asarray(batch.labels[v]),
+                    jnp.asarray(logp[v]), jnp.asarray(batch_labels[v]),
                     self.cfg.train.loss_weights,
                 )
             ) * bsz
             sae_sum += float(out["sae_loss"]) * bsz
-            correct += float((np.argmax(logp[v], -1) == batch.labels[v]).sum())
+            correct += float((np.argmax(logp[v], -1) == batch_labels[v]).sum())
             scores_all.append(s[v])
-            labels_all.append(batch.labels[v])
+            labels_all.append(batch_labels[v])
 
         eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
         n = max(n_seen, 1)
@@ -282,15 +326,30 @@ class Trainer:
         assert self.state is not None
         n = 0
         with ScoreWriter(out_path) as writer:
-            for batch in loader.epoch(0):
-                wav = shard_batch(jnp.asarray(batch.wav), self.mesh)
-                out = self.eval_step(self.state.params, wav)
+            pending = None  # one batch in flight: host decode, device
+            # compute, and score writing overlap via async dispatch
+
+            def flush(item):
+                nonlocal n
+                utt_ids, valid, out = item
                 # score-file contract: P(bonafide) = exp(log_softmax)[:, 1]
                 # (reference: main.py:183-185)
-                score = np.asarray(out["score"])
-                v = batch.valid
+                score = np.asarray(out["score"])  # blocks on the device
                 writer.write_batch(
-                    [u for u, ok in zip(batch.utt_ids, v) if ok], score[v]
+                    [u for u, ok in zip(utt_ids, valid) if ok], score[valid]
                 )
-                n += int(v.sum())
+                n += int(valid.sum())
+
+            for batch in loader.epoch(0):
+                wav_np, _, valid = pad_batch_to_devices(
+                    self.mesh, batch.wav, None, batch.valid
+                )
+                wav = shard_batch(jnp.asarray(wav_np), self.mesh)
+                out = self.eval_step(self.state.params, wav)  # async
+                if pending is not None:
+                    flush(pending)
+                utt_ids = list(batch.utt_ids) + [""] * (len(valid) - len(batch.utt_ids))
+                pending = (utt_ids, valid, out)
+            if pending is not None:
+                flush(pending)
         return n

@@ -18,16 +18,21 @@ def weighted_nll(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
     class_weights: Sequence[float] = (0.1, 0.9),
+    valid=None,
 ) -> jnp.ndarray:
     """Weighted negative log-likelihood on log-probability inputs.
 
     log_probs: [B, C] log-softmax outputs; labels: [B] int class ids.
+    ``valid`` optionally masks padding rows (device-divisibility tiling)
+    out of both the numerator and the weight normalizer.
     """
     w = jnp.asarray(class_weights, dtype=jnp.float32)
     picked = jnp.take_along_axis(
         log_probs.astype(jnp.float32), labels[:, None], axis=-1
     )[:, 0]
     sample_w = w[labels]
+    if valid is not None:
+        sample_w = sample_w * valid.astype(jnp.float32)
     return -(sample_w * picked).sum() / sample_w.sum()
 
 

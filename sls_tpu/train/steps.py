@@ -72,7 +72,7 @@ def make_train_step(
     tcfg = cfg.train
     compute_cpc = cfg.model.use_cpc
 
-    def step(state: TrainState, wav, labels, base_rng):
+    def step(state: TrainState, wav, labels, valid, base_rng):
         dropout_rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
@@ -83,7 +83,9 @@ def make_train_step(
                 compute_cpc=compute_cpc,
                 rngs={"dropout": dropout_rng},
             )
-            cls = weighted_nll(out["log_probs"], labels, tcfg.loss_weights)
+            cls = weighted_nll(
+                out["log_probs"], labels, tcfg.loss_weights, valid
+            )
             loss = total_loss(
                 cls, out["sae_loss"], tcfg.sae_weight,
                 out["cpc_loss"], tcfg.cpc_weight if compute_cpc else 0.0,
@@ -99,13 +101,14 @@ def make_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        correct = ((jnp.argmax(aux["log_probs"], -1) == labels) * valid).sum()
         metrics = {
             "loss": loss,
             "cls_loss": aux["cls_loss"],
             "sae_loss": aux["sae_loss"],
             "cpc_loss": aux["cpc_loss"],
             "scores": aux["scores"],
-            "correct": (jnp.argmax(aux["log_probs"], -1) == labels).sum(),
+            "correct": correct,
         }
         return new_state, metrics
 
@@ -117,7 +120,7 @@ def make_train_step(
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(repl, data, data, repl),
+        in_shardings=(repl, data, data, data, repl),
         out_shardings=(repl, None),
     )
 

@@ -159,8 +159,9 @@ class TestShardedTraining:
         losses = []
         for _ in range(12):
             wav, labels = synthetic_batch(data_rng, 16)
-            wav, labels = shard_batch((wav, labels), mesh)
-            state, metrics = train_step(state, wav, labels, rng)
+            valid = jnp.ones(16, bool)
+            wav, labels, valid = shard_batch((wav, labels, valid), mesh)
+            state, metrics = train_step(state, wav, labels, valid, rng)
             losses.append(float(metrics["loss"]))
 
         assert all(np.isfinite(losses))
