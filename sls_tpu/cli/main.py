@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="root with CM protocol files")
     p.add_argument("--track", type=str, default="LA",
                    choices=["LA", "DF", "In-the-Wild"])
+    p.add_argument("--model_type", type=str, default="sae",
+                   choices=["sae", "sls"],
+                   help="sae = TopK-SAE detector; sls = upstream XLS-R+SLS "
+                        "parity model")
     p.add_argument("--audio_ext", type=str, default="flac")
     # hyperparameters (reference: main.py:419-424)
     p.add_argument("--batch_size", type=int, default=14)
@@ -128,9 +132,10 @@ def config_from_args(args) -> "ExperimentConfig":
         encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         act_dim = 1024
 
+    use_sae = args.use_sae and getattr(args, "model_type", "sae") != "sls"
     model = ModelConfig(
         encoder=encoder,
-        use_sae=args.use_sae,
+        use_sae=use_sae,
         use_sparse_features=args.use_sparse_features,
         sae=SAEConfig(
             activation_dim=act_dim,
@@ -268,9 +273,12 @@ def main(argv=None) -> int:
     run_dir = Path(args.model_dir) / cfg.model_tag()
     print(f"run dir: {run_dir}")
 
-    from sls_tpu.train.loop import Trainer
+    if args.model_type == "sls":
+        from sls_tpu.models.sls import SLSTrainer as TrainerCls
+    else:
+        from sls_tpu.train.loop import Trainer as TrainerCls
 
-    trainer = Trainer(cfg, run_dir)
+    trainer = TrainerCls(cfg, run_dir)
     trainer.init_state(np.zeros((2, cfg.train.cut_length), np.float32))
 
     # pretrained encoder weights

@@ -198,6 +198,14 @@ class ExperimentConfig:
     def model_tag(self) -> str:
         """Run-directory name encoding the experiment, mirroring the
         reference's tag scheme (reference: main.py:473-476)."""
+        if not self.model.use_sae:
+            tag = (
+                f"sls_{self.track}_e{self.train.num_epochs}"
+                f"_bs{self.train.batch_size}_lr{self.train.lr}"
+            )
+            if self.comment:
+                tag += f"_{self.comment}"
+            return tag
         variant = {
             "per_timestep": "pt",
             "window_overlap": "win",
