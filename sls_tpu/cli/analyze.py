@@ -271,6 +271,48 @@ def cmd_compare(args, cfg, model, params, loader):
     return report
 
 
+def cmd_failure(args, cfg, model, params, loader):
+    """Boundary-error correlation + transient spikes + discriminative
+    transients (reference: analyze_boundary_error_correlation.py,
+    analyze_window_limitations.py, improved_transient_analysis.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sls_tpu.analysis.failure_modes import (
+        boundary_error_correlation,
+        discriminative_transients_probe,
+        transient_spike_stats,
+    )
+
+    codes, wavs, labels = _collect_codes(model, params, loader,
+                                         args.num_samples)
+    report = {"spikes": transient_spike_stats(codes)}
+    if labels is not None:
+        logp = np.asarray(
+            jax.jit(
+                lambda p, c: model.apply({"params": p}, jnp.asarray(c),
+                                         method="classify_codes")
+            )(params, codes)
+        )
+        correct = np.argmax(logp, -1) == labels
+        report["boundary_error_correlation"] = boundary_error_correlation(
+            codes, correct, cfg.model.sae.window_size
+        )
+        report["discriminative_transients"] = discriminative_transients_probe(
+            codes, labels
+        )
+    return report
+
+
+def cmd_global_cues(args, cfg, model, params, loader):
+    """Utterance-global cue consistency
+    (reference: analyze_global_cue_consistency.py)."""
+    from sls_tpu.analysis.failure_modes import global_cue_consistency
+
+    codes, _, _ = _collect_codes(model, params, loader, args.num_samples)
+    return global_cue_consistency(codes, top_k=args.top_k)
+
+
 COMMANDS = {
     "temporal": cmd_temporal,
     "sparsity": cmd_sparsity,
@@ -281,6 +323,8 @@ COMMANDS = {
     "overlap": cmd_overlap,
     "inspect": cmd_inspect,
     "compare": cmd_compare,
+    "failure": cmd_failure,
+    "global-cues": cmd_global_cues,
 }
 
 

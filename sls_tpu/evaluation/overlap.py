@@ -59,7 +59,7 @@ def overlap_stability_eval(
     scores, interior/boundary Jaccard at the overlap stride, mean
     Jaccard, and EER when labels are given.
     """
-    from sls_tpu.parallel.mesh import shard_batch
+    from sls_tpu.parallel.mesh import pad_batch_to_devices, shard_batch
 
     step = make_scoring_step(model, mesh)
     scores: Dict[str, float] = {}
@@ -67,13 +67,16 @@ def overlap_stability_eval(
     n_seen = 0
 
     for batch in loader.epoch(0):
-        wav = jnp.asarray(batch.wav)
         if mesh is not None:
-            wav = shard_batch(wav, mesh)
+            wav_np, _, v = pad_batch_to_devices(
+                mesh, batch.wav, None, batch.valid
+            )
+            wav = shard_batch(jnp.asarray(wav_np), mesh)
+        else:
+            wav, v = jnp.asarray(batch.wav), batch.valid
         out = step(params, wav)
         s = np.asarray(out["score"])
         active = np.asarray(out["active"], dtype=np.float32)
-        v = batch.valid
         for utt, ok, score in zip(batch.utt_ids, v, s):
             if ok:
                 scores[utt] = float(score)

@@ -213,7 +213,15 @@ class Trainer:
             )
             bsz = int(valid.sum())
             n_seen += bsz
-            sums["loss"] += float(metrics["loss"]) * bsz
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # NaN/Inf guard (reference: main.py:140-143,239-241 filters
+                # non-finite scores); flag loudly — the step already applied
+                self._nonfinite_batches = getattr(self, "_nonfinite_batches", 0) + 1
+                print(f"WARNING: non-finite loss at batch {b_idx} "
+                      f"(epoch {epoch})", flush=True)
+                continue
+            sums["loss"] += loss_val * bsz
             sums["cls"] += float(metrics["cls_loss"]) * bsz
             sums["sae"] += float(metrics["sae_loss"]) * bsz
             sums["cpc"] += float(metrics["cpc_loss"]) * bsz

@@ -58,3 +58,16 @@ def test_package_results(tiny_run, tmp_path):
     assert (dest / "training_log.csv").exists()
     text = (dest / "SUMMARY.md").read_text()
     assert "best val EER" in text
+
+
+def test_failure_and_global_cues_commands(tiny_run, tmp_path):
+    run_dir, _ = tiny_run
+    for command in ("failure", "global-cues"):
+        out = tmp_path / f"{command}.json"
+        rc = analyze_main([
+            command, "--run_dir", run_dir, "--synthetic",
+            "--num_samples", "12", "--batch_size", "6",
+            "--output", str(out),
+        ])
+        assert rc == 0
+        assert json.loads(out.read_text())
