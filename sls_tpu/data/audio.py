@@ -107,15 +107,17 @@ def load_audio(path: PathLike, target_sr: int = SAMPLE_RATE) -> np.ndarray:
     (reference: eval_2021_LA_torchaudio.py:65-69).
     """
     p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix not in (".wav", ".flac"):
+        # unsupported format is a configuration error, not corrupt data
+        raise ValueError(f"unsupported audio format: {p.suffix}")
     try:
-        if p.suffix.lower() == ".wav":
+        if suffix == ".wav":
             data, sr = read_wav_rate(p)
-        elif p.suffix.lower() == ".flac":
+        else:
             from sls_tpu.data.flac import read_flac_rate
 
             data, sr = read_flac_rate(p)
-        else:
-            raise ValueError(f"unsupported audio format: {p.suffix}")
         return resample_to_16k(data, sr) if target_sr == SAMPLE_RATE else data
     except FileNotFoundError:
         raise

@@ -172,3 +172,67 @@ def score_full_utterance(
         "n_windows": n,
         "window_scores": window_scores,
     }
+
+
+def score_utterances_streamed(
+    model,
+    params,
+    audio_iter,
+    window: int = 64600,
+    stride: Optional[int] = None,
+    batch_size: int = 32,
+    aggregate: str = "mean",
+):
+    """Streamed full-utterance scoring over many variable-length clips.
+
+    The production path for In-the-Wild-scale overlap eval (BASELINE
+    config #5, ~32k utterances): windows from different utterances are
+    packed into ONE fixed-size batch stream, so short clips never waste
+    device steps and exactly one program is compiled.
+
+    audio_iter yields (utt_id, waveform) pairs; yields (utt_id, score)
+    in completion order.
+    """
+    stride = stride or window // 2
+
+    @jax.jit
+    def fwd(params, w):
+        return model.apply({"params": params}, w, train=False)["score"]
+
+    agg = {"mean": np.mean, "min": np.min, "max": np.max}[aggregate]
+
+    pending_windows = []  # list of (utt_id, window array)
+    counts: Dict[str, int] = {}
+    acc: Dict[str, list] = {}
+    order: list = []
+
+    def flush_ready():
+        while order and len(acc[order[0]]) == counts[order[0]]:
+            utt = order.pop(0)
+            yield utt, float(agg(np.asarray(acc.pop(utt))))
+            counts.pop(utt)
+
+    def run_batch(rows):
+        wavs = np.stack([w for _, w in rows])
+        if len(wavs) < batch_size:
+            reps = int(np.ceil(batch_size / len(wavs)))
+            wavs = np.tile(wavs, (reps, 1))[:batch_size]
+        scores = np.asarray(fwd(params, jnp.asarray(wavs)))[: len(rows)]
+        for (utt, _), s in zip(rows, scores):
+            acc[utt].append(float(s))
+
+    for utt_id, wav in audio_iter:
+        wins = extract_windows(np.asarray(wav, np.float32), window, stride)
+        counts[utt_id] = len(wins)
+        acc[utt_id] = []
+        order.append(utt_id)
+        pending_windows.extend((utt_id, w) for w in wins)
+        while len(pending_windows) >= batch_size:
+            run_batch(pending_windows[:batch_size])
+            del pending_windows[:batch_size]
+            yield from flush_ready()
+
+    if pending_windows:
+        run_batch(pending_windows)
+        pending_windows.clear()
+    yield from flush_ready()
