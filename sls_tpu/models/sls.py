@@ -69,7 +69,7 @@ def make_sls_train_step(
 ) -> Callable:
     tcfg = cfg.train
 
-    def step(state: SLSTrainState, wav, labels, base_rng):
+    def step(state: SLSTrainState, wav, labels, valid, base_rng):
         dropout_rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
@@ -79,7 +79,9 @@ def make_sls_train_step(
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"],
             )
-            loss = weighted_nll(out["log_probs"], labels, tcfg.loss_weights)
+            loss = weighted_nll(
+                out["log_probs"], labels, tcfg.loss_weights, valid
+            )
             return loss, (out, updates)
 
         (loss, (out, updates)), grads = jax.value_and_grad(
@@ -91,7 +93,8 @@ def make_sls_train_step(
         metrics = {
             "loss": loss,
             "scores": out["score"],
-            "correct": (jnp.argmax(out["log_probs"], -1) == labels).sum(),
+            "correct": ((jnp.argmax(out["log_probs"], -1) == labels)
+                        * valid).sum(),
         }
         return new_state, metrics
 
@@ -100,7 +103,7 @@ def make_sls_train_step(
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step, donate_argnums=(0,),
-                   in_shardings=(repl, data, data, repl),
+                   in_shardings=(repl, data, data, data, repl),
                    out_shardings=(repl, None))
 
 
@@ -209,9 +212,11 @@ class SLSTrainer:
                     jax.random.fold_in(self.rng, epoch), b_idx
                 )
                 wav = rawboost_batch(key, wav, aug_cfg)
-            wav, labels = shard_batch((wav, jnp.asarray(labels_np)), self.mesh)
+            wav, labels, valid_dev = shard_batch(
+                (wav, jnp.asarray(labels_np), jnp.asarray(valid)), self.mesh
+            )
             self.state, metrics = self.train_step(
-                self.state, wav, labels, self.rng
+                self.state, wav, labels, valid_dev, self.rng
             )
             bsz = int(valid.sum())
             n_seen += bsz

@@ -156,8 +156,9 @@ class TestSLSModel:
 
         step = make_sls_train_step(model, cfg, mesh=None)
         labels = jnp.asarray([0, 1, 0, 1])
+        valid = jnp.ones(4, bool)
         prev_bn = np.asarray(state.batch_stats["sls_head"]["bn"]["mean"]).copy()
-        state, metrics = step(state, wav, labels, jax.random.PRNGKey(1))
+        state, metrics = step(state, wav, labels, valid, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         # batch stats updated
         assert not np.allclose(
@@ -189,8 +190,9 @@ class TestSLSModel:
         step = make_sls_train_step(model, cfg, mesh=None)
         rng = np.random.default_rng(0)
         losses = []
+        valid = jnp.ones(16, bool)
         for _ in range(10):
             wav, labels = synthetic_batch(rng, 16)
-            state, m = step(state, wav, labels, jax.random.PRNGKey(2))
+            state, m = step(state, wav, labels, valid, jax.random.PRNGKey(2))
             losses.append(float(m["loss"]))
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
