@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--comment", type=str, default=None)
     p.add_argument("--quick_test", action="store_true",
                    help="truncate loops to 5 batches")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N early steps")
     # checkpointing (reference: main.py:420-423,462-464)
     p.add_argument("--model_dir", type=str, default="models")
     p.add_argument("--model_path", type=str, default=None,
@@ -278,7 +280,10 @@ def main(argv=None) -> int:
     else:
         from sls_tpu.train.loop import Trainer as TrainerCls
 
-    trainer = TrainerCls(cfg, run_dir)
+    if args.model_type == "sls":
+        trainer = TrainerCls(cfg, run_dir)
+    else:
+        trainer = TrainerCls(cfg, run_dir, profile_steps=args.profile_steps)
     trainer.init_state(np.zeros((2, cfg.train.cut_length), np.float32))
 
     # pretrained encoder weights

@@ -171,14 +171,26 @@ class BatchLoader:
                 valid=valid,
             )
 
+        def safe_put(item) -> bool:
+            # bounded put that respects shutdown (a consumer break must not
+            # leave producers blocked on a full queue forever)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer(worker: int):
             for b in range(worker, n_batches, self.num_threads):
                 if stop.is_set():
                     return
                 try:
-                    out_q.put((b, assemble(b)))
+                    if not safe_put((b, assemble(b))):
+                        return
                 except Exception as exc:  # surface decode errors
-                    out_q.put((b, exc))
+                    safe_put((b, exc))
                     return
 
         threads = [
@@ -204,7 +216,7 @@ class BatchLoader:
         finally:
             stop.set()
             for t in threads:
-                t.join(timeout=0.1)
+                t.join(timeout=0.5)
 
 
 class ArrayLoader:

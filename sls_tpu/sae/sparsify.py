@@ -73,7 +73,11 @@ def topk_per_row_exact(acts: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def _overlap_geometry(T: int, window: int) -> Tuple[int, int, int, int]:
     """(stride, num_windows, pad, T_padded) for the 50%-overlap scheme,
-    replicating the reference's arithmetic (model_window_topk.py:131-151)."""
+    replicating the reference's arithmetic (model_window_topk.py:131-151).
+
+    Degenerate branch (stride >= T, i.e. T <= window//2): the reference
+    keeps the sequence unpadded, which makes its unfold() crash for
+    T < window; we pad up to one full window instead — a strict fix."""
     stride = max(1, window // 2)
     if stride >= T:
         return stride, 1, max(0, window - T), max(T, window)

@@ -92,7 +92,11 @@ class Trainer:
         run_dir,
         mesh=None,
         tensorboard: bool = True,
+        profile_steps: int = 0,
     ):
+        # profile_steps > 0: capture a jax.profiler trace of that many
+        # steps at the start of the first trained epoch (SURVEY.md §5.1 —
+        # the reference had no profiling subsystem at all)
         self.cfg = cfg
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -116,6 +120,8 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
+        self.profile_steps = profile_steps
+        self._profiled = False
 
     # -- state management ---------------------------------------------------
 
@@ -195,7 +201,11 @@ class Trainer:
         scores_all: List[np.ndarray] = []
         labels_all: List[np.ndarray] = []
 
+        profiling = False
         for b_idx, batch in enumerate(loader.epoch(epoch)):
+            if (self.profile_steps and not self._profiled and b_idx == 1):
+                jax.profiler.start_trace(str(self.run_dir / "profile"))
+                profiling = True
             wav_np, labels_np, valid = pad_batch_to_devices(
                 self.mesh, batch.wav, batch.labels, batch.valid
             )
@@ -229,7 +239,14 @@ class Trainer:
             s = np.asarray(metrics["scores"])[valid]
             scores_all.append(s)
             labels_all.append(labels_np[valid])
+            if profiling and b_idx >= self.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                self._profiled = True
 
+        if profiling:
+            jax.profiler.stop_trace()
+            self._profiled = True
         eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
         n = max(n_seen, 1)
         return EpochMetrics(
