@@ -16,8 +16,6 @@ Differences (documented):
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import sys
 from pathlib import Path
 
 import numpy as np

@@ -16,7 +16,7 @@ sparse codes, so the stability statistics come for free with scoring
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

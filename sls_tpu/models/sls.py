@@ -16,7 +16,6 @@ from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
