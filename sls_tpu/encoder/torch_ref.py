@@ -1,0 +1,169 @@
+"""Torch-functional wav2vec2 reference forward — the parity harness.
+
+An independent, dependency-light (torch-only) implementation of the
+fairseq wav2vec2 inference semantics (reference behavior:
+wav2vec/wav2vec2.py:540-647) used to verify the Flax encoder and the
+weight converters:
+
+- golden unit tests evaluate it against XLSREncoder on random weights
+  (tests/test_encoder.py)
+- the parity CLI (sls_tpu.encoder.parity) evaluates it against real
+  checkpoints when they are available
+
+This is verification tooling, not a compute path; torch imports stay
+inside the functions.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sls_tpu.config import XLSRConfig
+from sls_tpu.encoder.convert import fold_weight_norm
+
+
+def make_fairseq_state(cfg: XLSRConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random fairseq-named wav2vec2 state dict for ``cfg`` (testing)."""
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, scale=0.2):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    s = {}
+    in_ch = 1
+    for i, (dim, k, _) in enumerate(cfg.conv_layers):
+        base = f"feature_extractor.conv_layers.{i}"
+        s[f"{base}.0.weight"] = w(dim, in_ch, k)
+        if cfg.conv_bias:
+            s[f"{base}.0.bias"] = w(dim)
+        if cfg.extractor_mode == "layer_norm":
+            s[f"{base}.2.1.weight"] = 1.0 + w(dim, scale=0.05)
+            s[f"{base}.2.1.bias"] = w(dim, scale=0.05)
+        in_ch = dim
+
+    C = cfg.embed_dim
+    last = cfg.conv_layers[-1][0]
+    s["layer_norm.weight"] = 1.0 + w(last, scale=0.05)
+    s["layer_norm.bias"] = w(last, scale=0.05)
+    s["post_extract_proj.weight"] = w(C, last)
+    s["post_extract_proj.bias"] = w(C)
+
+    s["encoder.pos_conv.0.weight_g"] = np.abs(w(1, 1, cfg.conv_pos)) + 0.5
+    s["encoder.pos_conv.0.weight_v"] = w(C, C // cfg.conv_pos_groups, cfg.conv_pos)
+    s["encoder.pos_conv.0.bias"] = w(C)
+
+    for i in range(cfg.encoder_layers):
+        base = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            s[f"{base}.self_attn.{proj}.weight"] = w(C, C)
+            s[f"{base}.self_attn.{proj}.bias"] = w(C)
+        s[f"{base}.self_attn_layer_norm.weight"] = 1.0 + w(C, scale=0.05)
+        s[f"{base}.self_attn_layer_norm.bias"] = w(C, scale=0.05)
+        s[f"{base}.fc1.weight"] = w(cfg.ffn_dim, C)
+        s[f"{base}.fc1.bias"] = w(cfg.ffn_dim)
+        s[f"{base}.fc2.weight"] = w(C, cfg.ffn_dim)
+        s[f"{base}.fc2.bias"] = w(C)
+        s[f"{base}.final_layer_norm.weight"] = 1.0 + w(C, scale=0.05)
+        s[f"{base}.final_layer_norm.bias"] = w(C, scale=0.05)
+
+    s["encoder.layer_norm.weight"] = 1.0 + w(C, scale=0.05)
+    s["encoder.layer_norm.bias"] = w(C, scale=0.05)
+    return s
+
+
+def torch_reference_forward(
+    s: Dict[str, np.ndarray],
+    cfg: XLSRConfig,
+    wav: np.ndarray,
+    return_stages: bool = False,
+):
+    """Torch-functional wav2vec2 inference forward (pre-LN / XLS-R mode).
+
+    With ``return_stages`` also returns per-stage activations for
+    localizing converter/implementation divergences.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    T_ = torch.from_numpy
+    stages: Dict[str, np.ndarray] = {}
+
+    with torch.no_grad():
+        x = T_(wav)[:, None, :]
+        for i, (dim, k, stride) in enumerate(cfg.conv_layers):
+            base = f"feature_extractor.conv_layers.{i}"
+            bias = T_(s[f"{base}.0.bias"]) if cfg.conv_bias else None
+            x = F.conv1d(x, T_(s[f"{base}.0.weight"]), bias, stride=stride)
+            if cfg.extractor_mode == "layer_norm":
+                x = x.transpose(1, 2)
+                x = F.layer_norm(
+                    x, (dim,), T_(s[f"{base}.2.1.weight"]),
+                    T_(s[f"{base}.2.1.bias"]),
+                )
+                x = x.transpose(1, 2)
+            x = F.gelu(x)
+        x = x.transpose(1, 2)
+        stages["conv_features"] = x.numpy()
+
+        last = cfg.conv_layers[-1][0]
+        x = F.layer_norm(x, (last,), T_(s["layer_norm.weight"]),
+                         T_(s["layer_norm.bias"]))
+        x = F.linear(x, T_(s["post_extract_proj.weight"]),
+                     T_(s["post_extract_proj.bias"]))
+        stages["projected"] = x.numpy()
+
+        if "encoder.pos_conv.0.weight_g" in s:
+            pw = fold_weight_norm(
+                s["encoder.pos_conv.0.weight_g"], s["encoder.pos_conv.0.weight_v"]
+            )
+        else:
+            pw = s["encoder.pos_conv.0.weight"]
+        pc = F.conv1d(
+            x.transpose(1, 2), T_(pw), T_(s["encoder.pos_conv.0.bias"]),
+            padding=cfg.conv_pos // 2, groups=cfg.conv_pos_groups,
+        )
+        if cfg.conv_pos % 2 == 0:
+            pc = pc[:, :, :-1]
+        x = x + F.gelu(pc).transpose(1, 2)
+        stages["pos_embedded"] = x.numpy()
+
+        C, H = cfg.embed_dim, cfg.num_heads
+        Dh = C // H
+        B, T, _ = x.shape
+        for i in range(cfg.encoder_layers):
+            p = f"encoder.layers.{i}."
+            residual = x
+            h = F.layer_norm(
+                x, (C,), T_(s[p + "self_attn_layer_norm.weight"]),
+                T_(s[p + "self_attn_layer_norm.bias"]),
+            )
+            q = F.linear(h, T_(s[p + "self_attn.q_proj.weight"]),
+                         T_(s[p + "self_attn.q_proj.bias"])) * Dh ** -0.5
+            k = F.linear(h, T_(s[p + "self_attn.k_proj.weight"]),
+                         T_(s[p + "self_attn.k_proj.bias"]))
+            v = F.linear(h, T_(s[p + "self_attn.v_proj.weight"]),
+                         T_(s[p + "self_attn.v_proj.bias"]))
+            q = q.view(B, T, H, Dh)
+            k = k.view(B, T, H, Dh)
+            v = v.view(B, T, H, Dh)
+            attn = torch.einsum("bthd,bshd->bhts", q, k).softmax(-1)
+            ctx = torch.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, C)
+            x = residual + F.linear(ctx, T_(s[p + "self_attn.out_proj.weight"]),
+                                    T_(s[p + "self_attn.out_proj.bias"]))
+            residual = x
+            h = F.layer_norm(x, (C,), T_(s[p + "final_layer_norm.weight"]),
+                             T_(s[p + "final_layer_norm.bias"]))
+            h = F.gelu(F.linear(h, T_(s[p + "fc1.weight"]), T_(s[p + "fc1.bias"])))
+            x = residual + F.linear(h, T_(s[p + "fc2.weight"]),
+                                    T_(s[p + "fc2.bias"]))
+            stages[f"layer_{i}"] = x.numpy()
+
+        x = F.layer_norm(x, (C,), T_(s["encoder.layer_norm.weight"]),
+                         T_(s["encoder.layer_norm.bias"]))
+        stages["final"] = x.numpy()
+
+    if return_stages:
+        return stages["final"], stages
+    return stages["final"]
