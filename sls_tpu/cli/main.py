@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--protocols_path", type=str, default="./database/",
                    help="root with CM protocol files")
     p.add_argument("--track", type=str, default="LA",
-                   choices=["LA", "DF", "In-the-Wild"])
+                   choices=["LA", "DF", "In-the-Wild", "2019LA"])
     p.add_argument("--model_type", type=str, default="sae",
                    choices=["sae", "sls"],
                    help="sae = TopK-SAE detector; sls = upstream XLS-R+SLS "
@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     # eval (reference: main.py:426-428)
     p.add_argument("--is_eval", action="store_true")
     p.add_argument("--eval_output", type=str, default=None)
+    p.add_argument("--full_utterance", action="store_true",
+                   help="score variable-length audio with overlapping "
+                        "windows instead of the fixed 64,600-sample crop")
     # RawBoost (reference: main.py:443-459)
     p.add_argument("--algo", type=int, default=3)
     p.add_argument("--nBands", type=int, default=5)
@@ -203,6 +206,7 @@ def _protocol_paths(args):
     return {
         "train": proto / "ASVspoof2019.LA.cm.train.trn.txt",
         "dev": proto / "ASVspoof2019.LA.cm.dev.trl.txt",
+        "eval_2019": proto / "ASVspoof2019.LA.cm.eval.trl.txt",
         "eval_LA": proto / "ASVspoof2021.LA.cm.eval.trl.txt",
         "eval_DF": proto / "ASVspoof2021.DF.cm.eval.trl.txt",
         "eval_wild": proto / "in_the_wild.eval.txt",
@@ -215,7 +219,16 @@ def run_eval(args, cfg, trainer):
 
     paths = _protocol_paths(args)
     db = Path(args.database_path)
-    if args.track == "LA":
+    if args.track == "2019LA":
+        # 2019 LA eval protocol is 5-column with labels; ids are column 2
+        # (reference: generate_scores_2019_eval.py)
+        from sls_tpu.data.protocols import parse_train_protocol
+
+        _, ids = parse_train_protocol(paths["eval_2019"])
+        index = DatasetIndex.for_eval(ids, db / "ASVspoof2019_LA_eval",
+                                      ext=args.audio_ext)
+        default_out = "scores/scores_2019LA.txt"
+    elif args.track == "LA":
         ids = parse_eval_list(paths["eval_LA"])
         index = DatasetIndex.for_eval(ids, db / "ASVspoof2021_LA_eval",
                                       ext=args.audio_ext)
@@ -230,13 +243,38 @@ def run_eval(args, cfg, trainer):
         index = DatasetIndex.for_in_the_wild(ids, db / "release_in_the_wild")
         default_out = "scores/scores_Wild.txt"
 
-    loader = BatchLoader(
-        index, batch_size=args.batch_size, shuffle=False,
-        cut=cfg.train.cut_length,
-        limit_batches=5 if args.quick_test else None,
-    )
     out = args.eval_output or default_out
-    n = trainer.produce_scores(loader, out)
+    if args.full_utterance:
+        from sls_tpu.data.audio import load_audio
+        from sls_tpu.evaluation.overlap import score_utterances_streamed
+        from sls_tpu.scores.writer import ScoreWriter
+
+        def audio_iter():
+            cap = 5 * args.batch_size if args.quick_test else None
+            for i, (utt, path) in enumerate(zip(index.utt_ids, index.paths)):
+                if cap is not None and i >= cap:
+                    return
+                wav = load_audio(path)
+                yield utt, wav if wav.size else np.zeros(
+                    cfg.train.cut_length, np.float32
+                )
+
+        n = 0
+        with ScoreWriter(out) as writer:
+            for utt, score in score_utterances_streamed(
+                trainer.model, trainer.state.params, audio_iter(),
+                window=cfg.train.cut_length,
+                batch_size=args.batch_size,
+            ):
+                writer.write_batch([utt], [score])
+                n += 1
+    else:
+        loader = BatchLoader(
+            index, batch_size=args.batch_size, shuffle=False,
+            cut=cfg.train.cut_length,
+            limit_batches=5 if args.quick_test else None,
+        )
+        n = trainer.produce_scores(loader, out)
     print(f"wrote {n} scores to {out}")
 
 
