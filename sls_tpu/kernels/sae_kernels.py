@@ -6,18 +6,17 @@ kernels here keep the whole centered-matmul + bias + ReLU epilogue in
 VMEM — one HBM round-trip for the [N, dict_size] activations instead of
 three (matmul out, bias add, relu):
 
-- ``sae_encode_fused``: relu((x - b_dec) @ W_enc + b_enc)
+- ``sae_encode_topk_fused``: matmul + ReLU + EXACT top-k threshold mask
+  in one VMEM pass (bit-pattern binary search replaces the sort-based
+  ``lax.top_k``, which profiling showed was ~29 ms of the SAE's 32 ms
+  per 64-utterance batch on v5e)
+- ``sae_encode_fused``: relu((x - b_dec) @ W_enc + b_enc) (no topk)
 - ``sae_decode_fused``: codes @ W_dec + b_dec
 
-Tiling: grid over (N/TN, M/TM) output tiles; the contraction dim D
-(1024) rides whole in VMEM (x tile TNxD ~1 MB + W tile DxTM ~2 MB fp32,
-comfortably under the ~16 MB/core budget).  fp32 accumulation via
+Tiling: grid over (N/TN[, M/TM]) output tiles; the contraction dim D
+(1024) rides whole in VMEM.  fp32 accumulation via
 ``preferred_element_type``; N is padded to the tile size in the wrapper
 and sliced back.
-
-TopK sparsification stays on ``jax.lax.top_k`` (XLA's sort-based top-k
-over 4096 lanes is already near-roofline; an in-kernel bisection top-k
-would trade exactness for nothing measurable at k=128).
 
 Use ``interpret=True`` on CPU (tests); compiled path on TPU.
 """
@@ -81,6 +80,118 @@ def sae_encode_fused(
       b_enc.reshape(1, -1).astype(jnp.float32),
       b_dec.reshape(1, -1).astype(jnp.float32))
     return out[:n]
+
+
+def _encode_topk_kernel(k_arr, x_ref, w_ref, b_enc_ref, b_dec_ref, out_ref):
+    """Fused encode + ReLU + exact TopK threshold mask, one VMEM pass.
+
+    The k-th-largest threshold per row is found by binary search on the
+    float BIT PATTERN: post-ReLU activations are non-negative, and
+    non-negative IEEE-754 floats compare identically as int32, so 31
+    halvings of the bit range converge to the exact threshold.  Cost is
+    31 * (compare + reduce) over the row — ~15x cheaper than the
+    sort-based ``lax.top_k`` (measured: 29.3 ms -> ~2 ms for
+    [12864, 4096] on v5e), with identical keep-everything->=kth-value
+    semantics (sae/sparsify.py topk_mask).
+    """
+    k = k_arr[0]
+    centered = (x_ref[:].astype(jnp.float32) - b_dec_ref[:]).astype(
+        x_ref.dtype
+    )
+    acts = jnp.maximum(
+        jnp.dot(centered, w_ref[:], preferred_element_type=jnp.float32)
+        + b_enc_ref[:],
+        0.0,
+    )
+    bits = jax.lax.bitcast_convert_type(acts, jnp.int32)  # relu'd floats: order-preserving
+
+    rows = acts.shape[0]
+    lo0 = jnp.zeros((rows, 1), jnp.int32)
+    hi0 = jnp.full((rows, 1), jnp.int32(0x7F800000))  # +inf bits
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + ((hi - lo) >> 1)
+        count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
+                        keepdims=True)
+        keep = count >= k
+        return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    out_ref[:] = jnp.where(bits >= lo, acts, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def sae_encode_topk_fused(
+    x: jnp.ndarray,
+    w_enc: jnp.ndarray,
+    b_enc: jnp.ndarray,
+    b_dec: jnp.ndarray,
+    k: int,
+    tile_n: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sparse codes = topk_mask(relu((x - b_dec) @ w_enc + b_enc), k) in a
+    single fused kernel; x [N, D] -> [N, M].
+
+    The full dictionary row stays in VMEM (x tile TNxD + W DxM bf16-sized
+    + out TNxM fp32 must fit ~16 MB; defaults cover D=1024, M=4096)."""
+    n, d = x.shape
+    m = w_enc.shape[1]
+    n_pad = _round_up(max(n, 1), tile_n)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    out = pl.pallas_call(
+        _encode_topk_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # k
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([k], jnp.int32), x.astype(jnp.bfloat16),
+      w_enc.astype(jnp.bfloat16), b_enc.reshape(1, -1).astype(jnp.float32),
+      b_dec.reshape(1, -1).astype(jnp.float32))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sae_encode_topk(x, w_enc, b_enc, b_dec, k):
+    """Differentiable fused encode+topk (training-capable Pallas path).
+
+    Forward: the fused Pallas kernel.  Backward: the exact VJP in plain
+    XLA matmuls — the TopK mask is a constant w.r.t. the kept values
+    (identical to the reference's topk+scatter autograd, where gradients
+    flow only through the selected activations), and ReLU's gradient is 1
+    on every kept entry because kept activations are strictly positive.
+    """
+    return sae_encode_topk_fused(x, w_enc, b_enc, b_dec, k=k)
+
+
+def _sae_encode_topk_fwd(x, w_enc, b_enc, b_dec, k):
+    out = sae_encode_topk_fused(x, w_enc, b_enc, b_dec, k=k)
+    return out, (x, w_enc, b_dec, out > 0)
+
+
+def _sae_encode_topk_bwd(k, residuals, g):
+    x, w_enc, b_dec, mask = residuals
+    g_pre = jnp.where(mask, g, 0.0).astype(jnp.float32)
+    d_x = g_pre @ w_enc.T.astype(jnp.float32)
+    d_w = (x - b_dec).astype(jnp.float32).T @ g_pre
+    d_b_enc = g_pre.sum(axis=0)
+    d_b_dec = -d_x.sum(axis=0)
+    return d_x, d_w, d_b_enc, d_b_dec
+
+
+sae_encode_topk.defvjp(_sae_encode_topk_fwd, _sae_encode_topk_bwd)
 
 
 def _decode_kernel(c_ref, w_ref, b_dec_ref, out_ref):

@@ -40,7 +40,10 @@ class Detector(nn.Module):
         cfg = self.config
         self.encoder = XLSREncoder(cfg.encoder, name="encoder")
         if cfg.use_sae:
-            self.sae = TopKSAE(cfg.sae, name="sae")
+            import jax.numpy as _jnp
+
+            sae_dtype = _jnp.bfloat16 if cfg.sae.bf16 else _jnp.float32
+            self.sae = TopKSAE(cfg.sae, dtype=sae_dtype, name="sae")
         if cfg.use_cpc and cfg.use_sae:
             self.cpc = CPCHead(cfg.cpc, name="cpc")
         self.classifier = MeanPoolClassifier(

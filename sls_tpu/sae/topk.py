@@ -82,6 +82,16 @@ class TopKSAE(nn.Module):
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sparse codes for x ([B,T,D] or [N,D]; window variants require
         the 3-D form, matching the reference's temporal_dim contract)."""
+        cfg = self.config
+        if cfg.use_pallas and cfg.variant == "per_timestep":
+            # single fused kernel: matmul + ReLU + exact topk threshold
+            # (differentiable via custom VJP)
+            from sls_tpu.kernels.sae_kernels import sae_encode_topk
+
+            flat = x.reshape(-1, x.shape[-1])
+            out = sae_encode_topk(flat, self.W_enc, self.b_enc, self.b_dec,
+                                  cfg.k)
+            return out.reshape(*x.shape[:-1], cfg.dict_size)
         return self.sparsify(self.pre_activations(x))
 
     def encode_threshold(self, x: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:

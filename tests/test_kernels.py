@@ -61,3 +61,74 @@ def test_encode_small_n(weights):
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_encode_topk_fused_matches_reference(weights):
+    """Fused matmul+relu+bit-search-topk vs the jnp reference path
+    (bf16 matmul tolerance)."""
+    from sls_tpu.kernels.sae_kernels import sae_encode_topk_fused
+    from sls_tpu.sae.sparsify import topk_per_row
+
+    w = weights
+    k = 16
+    ref_acts = np.maximum((w["x"] - w["b_dec"]) @ w["w_enc"] + w["b_enc"], 0.0)
+    out = np.asarray(
+        sae_encode_topk_fused(
+            jnp.asarray(w["x"]), jnp.asarray(w["w_enc"]),
+            jnp.asarray(w["b_enc"]), jnp.asarray(w["b_dec"]), k=k,
+            tile_n=128, interpret=True,
+        )
+    )
+    assert out.shape == ref_acts.shape
+    # support: at most k active, and actives are the k largest of the
+    # KERNEL's own activations (bf16 matmul shifts values slightly, so
+    # compare support sizes + threshold semantics, and values loosely)
+    active = out > 0
+    assert np.all(active.sum(-1) <= k + 2)  # bf16 ties can add a couple
+    assert np.all(active.sum(-1) >= 1)
+    # values where active match the bf16 activations within tolerance
+    np.testing.assert_allclose(
+        out[active], ref_acts[active], rtol=2e-2, atol=2e-2
+    )
+    # exact-threshold check against the kernel's own dense activations:
+    ref_sparse = np.asarray(topk_per_row(jnp.asarray(ref_acts), k))
+    overlap = (active & (ref_sparse > 0)).sum() / max((ref_sparse > 0).sum(), 1)
+    assert overlap > 0.9  # supports agree up to bf16 reordering
+
+
+def test_encode_topk_custom_vjp_matches_autodiff(weights):
+    """Gradients of the fused path vs jnp autodiff of the same math."""
+    from sls_tpu.kernels.sae_kernels import sae_encode_topk
+    from sls_tpu.sae.sparsify import topk_per_row
+    import jax
+
+    w = weights
+    k = 16
+    x = jnp.asarray(w["x"][:64])
+    W = jnp.asarray(w["w_enc"])
+    be = jnp.asarray(w["b_enc"])
+    bd = jnp.asarray(w["b_dec"])
+    tgt = jnp.asarray(np.random.default_rng(3).normal(size=(64, 512)),
+                      jnp.float32)
+
+    def loss_ref(x, W, be, bd):
+        acts = jnp.maximum((x - bd) @ W + be, 0.0)
+        return ((topk_per_row(acts, k) - tgt) ** 2).mean()
+
+    # interpret mode for the pallas forward on CPU
+    import sls_tpu.kernels.sae_kernels as sk
+    orig = sk.sae_encode_topk_fused
+    sk.sae_encode_topk_fused = lambda *a, **kw: orig(*a, **{**kw,
+                                                            "interpret": True})
+    try:
+        def loss_pal(x, W, be, bd):
+            return ((sae_encode_topk(x, W, be, bd, k) - tgt) ** 2).mean()
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, W, be, bd)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(x, W, be, bd)
+    finally:
+        sk.sae_encode_topk_fused = orig
+
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
