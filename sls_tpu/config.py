@@ -58,6 +58,9 @@ class XLSRConfig:
     dtype: Any = jnp.bfloat16
     # rematerialize transformer layers (trade FLOPs for HBM at big batches)
     remat: bool = False
+    # fused VMEM attention kernel (eval path; falls back to XLA when
+    # training so autodiff works)
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -153,6 +153,15 @@ class SelfAttention(nn.Module):
         k = proj("k_proj")(x).reshape(B, T, H, D)
         v = proj("v_proj")(x).reshape(B, T, H, D)
 
+        if cfg.fused_attention and deterministic:
+            # VMEM-resident attention (kernels/attention.py): no HBM
+            # round-trips for the [B,H,T,T] scores.  Eval-only (no
+            # custom VJP); training keeps the XLA path below.
+            from sls_tpu.kernels.attention import fused_attention
+
+            ctx = fused_attention(q * (D ** -0.5), k, v).reshape(B, T, C)
+            return proj("out_proj")(ctx)
+
         scores = jnp.einsum("bthd,bshd->bhts", q * (D ** -0.5), k)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
         probs = nn.Dropout(rate=cfg.attention_dropout)(

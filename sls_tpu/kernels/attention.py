@@ -1,0 +1,80 @@
+"""Fused self-attention Pallas kernel for short sequences.
+
+The XLS-R encoder runs 24 MHSA layers at T=201: XLA's unfused path
+materializes the [B, H, T, T] score tensor in HBM several times per layer
+(QK^T out, softmax in/out, PV in — ~83 MB bf16 per layer at B=64).  At
+this sequence length the whole per-(batch, head) attention fits in VMEM,
+so one kernel computes scores + fp32 softmax + context without touching
+HBM in between — "flash attention without the tiling", the appropriate
+form when T*T is small (a streaming-softmax kernel only pays off for
+long-sequence paths).
+
+Layout: inputs reshaped to [B*H, T, Dh]; grid over B*H.
+
+MEASURED (v5e-1, B=64, T=201, XLS-R-300M end-to-end): the fused kernel is
+SLOWER than XLA's batched attention — 127.6 ms/batch vs 115.1 ms — because
+per-(b,h) [201x64] matmuls underutilize the 128x128 MXU and the
+[B,T,H,Dh]->[B*H,T,Dh] relayout costs HBM traffic that XLA's fusion
+avoids.  The flag (XLSRConfig.fused_attention) therefore defaults OFF;
+the kernel is kept for long-sequence eval paths where score
+materialization dominates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]  # [T, Dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)  # fp32 island
+    ctx = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax(q @ k^T) @ v with fp32 softmax, fused per (batch, head).
+
+    q, k, v: [B, T, H, Dh] (q already scaled by Dh^-0.5).
+    Returns [B, T, H, Dh] in q's dtype.
+    """
+    B, T, H, Dh = q.shape
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, T, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, Dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, Dh), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    return out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3)

@@ -132,3 +132,47 @@ def test_encode_topk_custom_vjp_matches_autodiff(weights):
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-2, atol=5e-3)
+
+
+def test_fused_attention_matches_xla():
+    from sls_tpu.kernels.attention import fused_attention
+
+    rng = np.random.default_rng(0)
+    B, T, H, Dh = 2, 33, 4, 16
+    q = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32)) * Dh ** -0.5
+    k = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, Dh)).astype(np.float32))
+
+    import jax
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("bhts,bshd->bthd", probs, v)
+
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_encoder_fused_attention_flag_matches():
+    from sls_tpu.config import tiny_xlsr_config
+    from sls_tpu.encoder.xlsr import XLSREncoder
+    import jax
+    import sls_tpu.kernels.attention as attn_mod
+
+    # route the flagged encoder through interpret mode on CPU
+    orig = attn_mod.fused_attention
+    attn_mod.fused_attention = lambda *a, **kw: orig(*a, interpret=True)
+    try:
+        cfg_ref = tiny_xlsr_config()
+        cfg_fused = tiny_xlsr_config(fused_attention=True)
+        wav = jnp.asarray(
+            np.random.default_rng(1).normal(0, 0.1, (2, 1000)), jnp.float32
+        )
+        params = XLSREncoder(cfg_ref).init(jax.random.PRNGKey(0), wav)
+        a = XLSREncoder(cfg_ref).apply(params, wav)
+        b = XLSREncoder(cfg_fused).apply(params, wav)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
+    finally:
+        attn_mod.fused_attention = orig

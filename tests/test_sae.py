@@ -230,3 +230,45 @@ class TestTopKSAEModule:
 
         np.testing.assert_allclose(np.asarray(codes), codes_t.numpy(), atol=1e-4)
         np.testing.assert_allclose(np.asarray(recon), recon_t.numpy(), atol=1e-4)
+
+
+class TestKthValueBitSearch:
+    """Sort-free threshold (sparsify.kth_value_threshold) vs sorting."""
+
+    def test_matches_sort_positive(self):
+        from sls_tpu.sae.sparsify import kth_value_threshold
+
+        rng = np.random.default_rng(11)
+        acts = np.maximum(rng.normal(size=(40, 256)), 0).astype(np.float32)
+        for k in (1, 16, 100, 256):
+            kth = np.asarray(kth_value_threshold(jnp.asarray(acts), k))[:, 0]
+            expected = np.sort(acts, axis=-1)[:, -k]
+            np.testing.assert_array_equal(kth, expected)
+
+    def test_matches_sort_with_negatives(self):
+        from sls_tpu.sae.sparsify import kth_value_threshold
+
+        rng = np.random.default_rng(12)
+        acts = rng.normal(size=(16, 128)).astype(np.float32)
+        kth = np.asarray(kth_value_threshold(jnp.asarray(acts), 32))[:, 0]
+        expected = np.sort(acts, axis=-1)[:, -32]
+        np.testing.assert_array_equal(kth, expected)
+
+    def test_exact_on_duplicates(self):
+        from sls_tpu.sae.sparsify import kth_value_threshold
+
+        acts = np.array([[1.0, 2.0, 2.0, 2.0, 3.0, 0.0, 0.0, 0.5]],
+                        np.float32)
+        kth = float(kth_value_threshold(jnp.asarray(acts), 3)[0, 0])
+        assert kth == 2.0  # 3rd largest with ties
+
+    def test_grad_flows_through_masked_values(self):
+        from sls_tpu.sae.sparsify import topk_per_row
+
+        acts = jnp.asarray(
+            np.random.default_rng(13).uniform(0.01, 1, (8, 64)), jnp.float32
+        )
+        g = jax.grad(lambda a: (topk_per_row(a, 8) ** 2).sum())(acts)
+        out = np.asarray(topk_per_row(acts, 8))
+        # gradient = 2*a exactly on kept entries, 0 elsewhere
+        np.testing.assert_allclose(np.asarray(g), 2 * out, atol=1e-6)
