@@ -132,11 +132,15 @@ def _overlap_geometry(T: int, window: int) -> Tuple[int, int, int, int]:
 
 @functools.lru_cache(maxsize=64)
 def _coverage_matrix(T_padded: int, window: int, stride: int, num_windows: int):
-    """Static binary coverage matrix C[i, t] = window i covers frame t."""
+    """Static binary coverage matrix C[i, t] = window i covers frame t.
+
+    Returns NUMPY (not jnp): a cached jnp array created under one trace
+    would leak that trace's tracer into later jit calls; the numpy
+    constant is embedded per-trace by jnp.asarray at the use site."""
     cov = np.zeros((num_windows, T_padded), dtype=np.float32)
     for i in range(num_windows):
         cov[i, i * stride : i * stride + window] = 1.0
-    return jnp.asarray(cov)
+    return cov
 
 
 def window_topk_overlap(acts: jnp.ndarray, k: int, window: int) -> jnp.ndarray:
@@ -165,7 +169,7 @@ def window_topk_overlap(acts: jnp.ndarray, k: int, window: int) -> jnp.ndarray:
     win_mask = topk_mask(window_sums, k)  # [B, nw, D]
 
     # votes[b,t,d] = x[b,t,d] * (number of covering windows that selected d)
-    cov = _coverage_matrix(T_padded, window, stride, num_windows)
+    cov = jnp.asarray(_coverage_matrix(T_padded, window, stride, num_windows))
     cover_count = jnp.einsum("it,bid->btd", cov, win_mask)
     votes = x * cover_count
 

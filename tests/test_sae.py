@@ -272,3 +272,15 @@ class TestKthValueBitSearch:
         out = np.asarray(topk_per_row(acts, 8))
         # gradient = 2*a exactly on kept entries, 0 elsewhere
         np.testing.assert_allclose(np.asarray(g), 2 * out, atol=1e-6)
+
+
+def test_window_overlap_no_tracer_leak_across_jits():
+    """Regression: the cached coverage matrix must not leak tracers
+    between separate jit traces (it once cached a traced jnp array)."""
+    x = jnp.asarray(
+        np.random.default_rng(20).uniform(0.05, 1, (1, 16, 32)), jnp.float32
+    )
+    f1 = jax.jit(lambda a: window_topk_overlap(a, 4, 8).sum())
+    f2 = jax.jit(lambda a: window_topk_overlap(a * 2.0, 4, 8).sum())
+    float(f1(x))
+    float(f2(x))  # second independent trace reuses the cache entry
