@@ -133,6 +133,40 @@ def transient_persistent_split(
     }
 
 
+def feature_identity_stability(codes, window: int) -> Dict[str, float]:
+    """How much of each window's active-feature identity carries into the
+    next window (reference: analyze_feature_identity_stability,
+    model_window_topk.py:576-659).
+
+    Per utterance, the active set of each non-overlapping window is
+    compared to the next window's set; returns the mean carry-over
+    fraction and the per-feature persistence rate distribution summary.
+    """
+    a = _active(codes)
+    B, T, D = a.shape
+    n_win = T // window
+    if n_win < 2:
+        return {"identity_carryover": 1.0, "n_windows": float(n_win)}
+    aw = a[:, : n_win * window].reshape(B, n_win, window, D).any(axis=2)
+    prev, nxt = aw[:, :-1], aw[:, 1:]
+    inter = (prev & nxt).sum(-1)
+    size_prev = prev.sum(-1)
+    carry = np.where(size_prev > 0, inter / np.maximum(size_prev, 1), 1.0)
+    # per-feature persistence: P(active in w+1 | active in w)
+    feat_prev = prev.sum(axis=(0, 1))
+    feat_both = (prev & nxt).sum(axis=(0, 1))
+    with np.errstate(invalid="ignore"):
+        persistence = np.where(feat_prev > 0,
+                               feat_both / np.maximum(feat_prev, 1), 0.0)
+    active_feats = feat_prev > 0
+    return {
+        "identity_carryover": float(carry.mean()),
+        "mean_feature_persistence": float(
+            persistence[active_feats].mean()) if active_feats.any() else 0.0,
+        "n_windows": float(n_win),
+    }
+
+
 def semantic_drift(codes, window: int) -> Dict[str, float]:
     """Context-consistency of feature identities across windows
     (reference: analyze_semantic_drift, model_window_topk.py:843-937).

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pretrained XLS-R checkpoint (fairseq .pt or .npz)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no_bf16", dest="bf16", action="store_false")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer layers (memory for FLOPs)")
+    p.add_argument("--pallas_sae", action="store_true",
+                   help="fused Pallas SAE encode+topk kernel (TPU)")
     # SAE (reference: main.py:430-441)
     p.add_argument("--use_sae", action="store_true", default=True)
     p.add_argument("--no_sae", dest="use_sae", action="store_false")
@@ -132,7 +136,8 @@ def config_from_args(args) -> "ExperimentConfig":
         encoder = tiny_xlsr_config()
         act_dim = encoder.embed_dim
     else:
-        encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             remat=args.remat)
         act_dim = 1024
 
     use_sae = args.use_sae and getattr(args, "model_type", "sae") != "sls"
@@ -146,6 +151,7 @@ def config_from_args(args) -> "ExperimentConfig":
             k=args.sae_k,
             variant=variant,
             window_size=args.sae_window_size,
+            use_pallas=args.pallas_sae,
         ),
         use_cpc=args.use_cpc,
         cpc=CPCConfig(

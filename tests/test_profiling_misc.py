@@ -1,0 +1,55 @@
+"""Tests: StepTimer/profiling utils, pad_batch_to_devices edges,
+feature-identity stability."""
+
+import numpy as np
+import pytest
+
+from sls_tpu.analysis.temporal import feature_identity_stability
+from sls_tpu.parallel.mesh import make_mesh, pad_batch_to_devices
+from sls_tpu.train.profiling import StepTimer, device_memory_stats
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(warmup=1)
+    t.start()
+    for _ in range(5):
+        time.sleep(0.01)
+        t.tick()
+    s = t.summary(items_per_step=8)
+    assert s["steps"] == 4  # warmup discarded
+    assert 0.005 < s["mean_s"] < 0.2
+    assert s["items_per_sec"] == pytest.approx(8 / s["mean_s"])
+    assert StepTimer().summary() == {"steps": 0}
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    for v in stats.values():
+        assert set(v) >= {"bytes_in_use"}
+
+
+def test_pad_batch_to_devices():
+    mesh = make_mesh()
+    wav = np.ones((5, 10), np.float32)
+    labels = np.arange(5)
+    w, l, v = pad_batch_to_devices(mesh, wav, labels)
+    assert w.shape[0] % 8 == 0 and w.shape[0] == 8
+    assert v.sum() == 5 and not v[5:].any()
+    assert len(l) == 8
+    # already divisible: no-op
+    wav8 = np.ones((8, 4), np.float32)
+    w2, l2, v2 = pad_batch_to_devices(mesh, wav8, None)
+    assert w2.shape[0] == 8 and l2 is None and v2.all()
+
+
+def test_feature_identity_stability():
+    codes = np.zeros((1, 16, 8), np.float32)
+    codes[0, :, 0] = 1.0  # persists across all windows
+    codes[0, :8, 1] = 1.0  # only first window
+    out = feature_identity_stability(codes, 8)
+    assert out["n_windows"] == 2.0
+    assert out["identity_carryover"] == pytest.approx(0.5)
+    # feature 0 persistence 1.0, feature 1 persistence 0 -> mean 0.5
+    assert out["mean_feature_persistence"] == pytest.approx(0.5)
