@@ -194,6 +194,53 @@ def _sae_encode_topk_bwd(k, residuals, g):
 sae_encode_topk.defvjp(_sae_encode_topk_fwd, _sae_encode_topk_bwd)
 
 
+@jax.custom_vjp
+def sae_decode(codes, w_dec, b_dec):
+    """Differentiable fused decode: Pallas forward, exact XLA backward
+    (a plain affine map, so the VJP is three matmuls)."""
+    return sae_decode_fused(codes, w_dec, b_dec)
+
+
+def _sae_decode_fwd(codes, w_dec, b_dec):
+    return sae_decode_fused(codes, w_dec, b_dec), (codes, w_dec)
+
+
+def _sae_decode_bwd(residuals, g):
+    codes, w_dec = residuals
+    g = g.astype(jnp.float32)
+    return (
+        g @ w_dec.T.astype(jnp.float32),
+        codes.astype(jnp.float32).T @ g,
+        g.sum(axis=0),
+    )
+
+
+sae_decode.defvjp(_sae_decode_fwd, _sae_decode_bwd)
+
+
+@jax.custom_vjp
+def sae_encode_relu(x, w_enc, b_enc, b_dec):
+    """Differentiable fused encode (no topk): Pallas forward, exact XLA
+    backward with the ReLU mask from the forward output."""
+    return sae_encode_fused(x, w_enc, b_enc, b_dec)
+
+
+def _sae_encode_relu_fwd(x, w_enc, b_enc, b_dec):
+    out = sae_encode_fused(x, w_enc, b_enc, b_dec)
+    return out, (x, w_enc, b_dec, out > 0)
+
+
+def _sae_encode_relu_bwd(residuals, g):
+    x, w_enc, b_dec, mask = residuals
+    g_pre = jnp.where(mask, g, 0.0).astype(jnp.float32)
+    d_x = g_pre @ w_enc.T.astype(jnp.float32)
+    d_w = (x - b_dec).astype(jnp.float32).T @ g_pre
+    return d_x, d_w, g_pre.sum(axis=0), -d_x.sum(axis=0)
+
+
+sae_encode_relu.defvjp(_sae_encode_relu_fwd, _sae_encode_relu_bwd)
+
+
 def _decode_kernel(c_ref, w_ref, b_dec_ref, out_ref):
     acc = jnp.dot(c_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = acc + b_dec_ref[:]

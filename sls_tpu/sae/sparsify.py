@@ -169,8 +169,16 @@ def window_topk_overlap(acts: jnp.ndarray, k: int, window: int) -> jnp.ndarray:
     win_mask = topk_mask(window_sums, k)  # [B, nw, D]
 
     # votes[b,t,d] = x[b,t,d] * (number of covering windows that selected d)
+    # The coverage contraction is the variant's FLOPs hotspot
+    # (B*D x nw x T ~ 0.5 TFLOP at B=64); run it in bf16 — masks are {0,1}
+    # and counts are tiny integers, exactly representable — accumulate fp32.
     cov = jnp.asarray(_coverage_matrix(T_padded, window, stride, num_windows))
-    cover_count = jnp.einsum("it,bid->btd", cov, win_mask)
+    cover_count = jnp.einsum(
+        "it,bid->btd",
+        cov.astype(jnp.bfloat16),
+        win_mask.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
     votes = x * cover_count
 
     # Per-frame top-k over vote strength; frames with no positive votes

@@ -55,10 +55,10 @@ class TopKSAE(nn.Module):
     def pre_activations(self, x: jnp.ndarray) -> jnp.ndarray:
         """ReLU encoder activations before sparsification.  x: [..., D]."""
         if self.config.use_pallas:
-            from sls_tpu.kernels.sae_kernels import sae_encode_fused
+            from sls_tpu.kernels.sae_kernels import sae_encode_relu
 
             flat = x.reshape(-1, x.shape[-1])
-            out = sae_encode_fused(flat, self.W_enc, self.b_enc, self.b_dec)
+            out = sae_encode_relu(flat, self.W_enc, self.b_enc, self.b_dec)
             return out.reshape(*x.shape[:-1], self.config.dict_size)
         h = (x - self.b_dec).astype(self.dtype) @ self.W_enc.astype(self.dtype)
         return jax.nn.relu(h.astype(jnp.float32) + self.b_enc)
@@ -107,10 +107,10 @@ class TopKSAE(nn.Module):
 
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
         if self.config.use_pallas:
-            from sls_tpu.kernels.sae_kernels import sae_decode_fused
+            from sls_tpu.kernels.sae_kernels import sae_decode
 
             flat = codes.reshape(-1, codes.shape[-1])
-            out = sae_decode_fused(flat, self.W_dec, self.b_dec)
+            out = sae_decode(flat, self.W_dec, self.b_dec)
             return out.reshape(*codes.shape[:-1], self.config.activation_dim)
         y = codes.astype(self.dtype) @ self.W_dec.astype(self.dtype)
         return y.astype(jnp.float32) + self.b_dec

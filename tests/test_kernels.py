@@ -176,3 +176,45 @@ def test_encoder_fused_attention_flag_matches():
                                    atol=5e-5, rtol=5e-5)
     finally:
         attn_mod.fused_attention = orig
+
+
+def test_decode_and_encode_relu_vjps(weights):
+    """Custom VJPs of the fused decode / plain-encode paths vs autodiff."""
+    from sls_tpu.kernels.sae_kernels import sae_decode, sae_encode_relu
+    import sls_tpu.kernels.sae_kernels as sk
+    import jax
+
+    w = weights
+    codes = jnp.asarray(
+        np.maximum(np.random.default_rng(5).normal(size=(64, 512)), 0),
+        jnp.float32,
+    )
+    x = jnp.asarray(w["x"][:64])
+    Wd = jnp.asarray(w["w_dec"])
+    We = jnp.asarray(w["w_enc"])
+    be = jnp.asarray(w["b_enc"])
+    bd = jnp.asarray(w["b_dec"])
+
+    orig_dec, orig_enc = sk.sae_decode_fused, sk.sae_encode_fused
+    sk.sae_decode_fused = lambda *a, **kw: orig_dec(*a, **{**kw, "interpret": True})
+    sk.sae_encode_fused = lambda *a, **kw: orig_enc(*a, **{**kw, "interpret": True})
+    try:
+        g_ref = jax.grad(lambda c, W, b: ((c @ W + b) ** 2).mean(),
+                         argnums=(0, 1, 2))(codes, Wd, bd)
+        g_pal = jax.grad(lambda c, W, b: (sae_decode(c, W, b) ** 2).mean(),
+                         argnums=(0, 1, 2))(codes, Wd, bd)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+        g_ref = jax.grad(
+            lambda x, W, be, bd: (jnp.maximum((x - bd) @ W + be, 0) ** 2).mean(),
+            argnums=(0, 1, 2, 3))(x, We, be, bd)
+        g_pal = jax.grad(
+            lambda x, W, be, bd: (sae_encode_relu(x, W, be, bd) ** 2).mean(),
+            argnums=(0, 1, 2, 3))(x, We, be, bd)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        sk.sae_decode_fused, sk.sae_encode_fused = orig_dec, orig_enc
