@@ -77,6 +77,18 @@ class DatasetIndex:
             utt_ids=list(utt_ids), paths=[base / u for u in utt_ids]
         )
 
+    def host_shard(self, process_index: int, process_count: int) -> "DatasetIndex":
+        """Per-host slice for multi-host SPMD: host i reads examples
+        i, i+N, i+2N, ... (the cross-host input pipeline that replaces
+        DataLoader workers; SURVEY.md §5.8).  Strided so class balance
+        is preserved per host."""
+        sel = list(range(process_index, len(self.utt_ids), process_count))
+        return DatasetIndex(
+            utt_ids=[self.utt_ids[i] for i in sel],
+            paths=[self.paths[i] for i in sel],
+            labels=None if self.labels is None else self.labels[sel],
+        )
+
 
 def _decode_one(path: Path, cut: int) -> np.ndarray:
     wav = load_audio(path)

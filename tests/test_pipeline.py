@@ -80,3 +80,17 @@ def test_array_loader_tail():
     assert len(batches) == 4
     assert batches[-1].wav.shape == (4, 8)
     np.testing.assert_array_equal(batches[-1].valid, [True, True, False, False])
+
+
+def test_host_shard(flac_dataset):
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+    shards = [index.host_shard(i, 4) for i in range(4)]
+    # disjoint, complete cover
+    all_ids = sorted(u for s in shards for u in s.utt_ids)
+    assert all_ids == sorted(utts)
+    assert len(shards[0]) == 3 and len(shards[3]) == 2
+    # labels follow the shard
+    np.testing.assert_array_equal(
+        shards[1].labels, [labels[u] for u in shards[1].utt_ids]
+    )
