@@ -194,6 +194,59 @@ def _sae_encode_topk_bwd(k, residuals, g):
 sae_encode_topk.defvjp(_sae_encode_topk_fwd, _sae_encode_topk_bwd)
 
 
+def _topk_mask_kernel(k_arr, x_ref, out_ref):
+    """Row-wise exact topk mask via the bit-pattern binary search, with
+    the input resident in VMEM for all 31 iterations (the jnp loop form
+    re-reads the array from HBM every iteration)."""
+    k = k_arr[0]
+    acts = x_ref[:]
+    bits = jax.lax.bitcast_convert_type(acts, jnp.int32)
+    rows = acts.shape[0]
+    lo0 = jnp.zeros((rows, 1), jnp.int32)
+    hi0 = jnp.full((rows, 1), jnp.int32(0x7F800000))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + ((hi - lo) >> 1)
+        count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
+                        keepdims=True)
+        keep = count >= k
+        return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    out_ref[:] = jnp.where(bits >= lo, acts, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def topk_sparsify_pallas(
+    x: jnp.ndarray, k: int, tile_n: int = 256, interpret: bool = False
+) -> jnp.ndarray:
+    """Keep the k largest entries per row, zero the rest — VMEM-resident
+    bit-search (exact, non-negative float32 rows).  x: [..., M]."""
+    orig_shape = x.shape
+    m = orig_shape[-1]
+    flat = x.reshape(-1, m).astype(jnp.float32)
+    n = flat.shape[0]
+    n_pad = _round_up(max(n, 1), tile_n)
+    if n_pad != n:
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+
+    out = pl.pallas_call(
+        _topk_mask_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([k], jnp.int32), flat)
+    return out[:n].reshape(orig_shape)
+
+
 @jax.custom_vjp
 def sae_decode(codes, w_dec, b_dec):
     """Differentiable fused decode: Pallas forward, exact XLA backward

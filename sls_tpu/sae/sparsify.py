@@ -182,8 +182,9 @@ def window_topk_overlap(acts: jnp.ndarray, k: int, window: int) -> jnp.ndarray:
     votes = x * cover_count
 
     # Per-frame top-k over vote strength; frames with no positive votes
-    # (uncovered tail) are zeroed — see module docstring.
-    kth = jax.lax.top_k(votes, k)[0][..., -1:]
+    # (uncovered tail) are zeroed — see module docstring.  Sort-free
+    # threshold (32x compare+reduce beats the sort at D=4096).
+    kth = jax.lax.stop_gradient(kth_value_threshold(votes, k))
     frame_mask = ((votes >= kth) & (votes > 0)).astype(x.dtype)
     out = x * frame_mask
     return out[:, :T, :] if pad else out

@@ -218,3 +218,16 @@ def test_decode_and_encode_relu_vjps(weights):
                                        rtol=1e-4, atol=1e-5)
     finally:
         sk.sae_decode_fused, sk.sae_encode_fused = orig_dec, orig_enc
+
+
+def test_topk_sparsify_pallas_matches_jnp():
+    from sls_tpu.kernels.sae_kernels import topk_sparsify_pallas
+    from sls_tpu.sae.sparsify import topk_per_row
+
+    rng = np.random.default_rng(9)
+    x = np.maximum(rng.normal(size=(3, 40, 256)), 0).astype(np.float32)
+    ref = np.asarray(topk_per_row(jnp.asarray(x), 32))
+    out = np.asarray(
+        topk_sparsify_pallas(jnp.asarray(x), 32, tile_n=64, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-7)
