@@ -122,6 +122,49 @@ def make_sls_eval_step(
     return jax.jit(step, in_shardings=(repl, repl, data), out_shardings=None)
 
 
+class _GateProbe(nn.Module):
+    """Capture the SLS head's sigmoid layer gates (see layer_gate_profile)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        encoder = XLSREncoder(self.config.encoder, name="encoder")
+        _, hiddens = encoder(wav, train=False, return_hidden_states=True)
+        stacked = jnp.stack(hiddens, axis=0).astype(jnp.float32)
+        pooled = stacked.mean(axis=2)  # [L, B, C]
+        gate = jax.nn.sigmoid(
+            nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
+                     name="layer_gate")(pooled)
+        )
+        return gate[..., 0]  # [L, B]
+
+
+def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
+    """Which encoder layers does the SLS head consider sensitive?
+
+    Returns per-layer mean/std of the sigmoid layer gates over a batch —
+    the interpretability question the SLS architecture exists to answer
+    (layer-gated fusion in heads/sls.py).  ``batch_stats`` is unused (the
+    gates sit before the BatchNorm) but kept for API symmetry.
+    """
+    import numpy as np
+
+    probe = _GateProbe(model.config)
+    probe_params = {
+        "encoder": params["encoder"],
+        "layer_gate": params["sls_head"]["layer_gate"],
+    }
+    gates = np.asarray(
+        jax.jit(lambda p, w: probe.apply({"params": p}, w))(probe_params, wav)
+    )
+    return {
+        "mean_gate_per_layer": gates.mean(axis=1).tolist(),
+        "std_gate_per_layer": gates.std(axis=1).tolist(),
+        "most_sensitive_layers": np.argsort(-gates.mean(axis=1))[:5].tolist(),
+    }
+
+
 class SLSTrainer:
     """Epoch driver for the SLS parity model — the Trainer's contract
     (fit / validate / produce_scores / resume) with batch_stats threading.

@@ -196,3 +196,25 @@ class TestSLSModel:
             state, m = step(state, wav, labels, valid, jax.random.PRNGKey(2))
             losses.append(float(m["loss"]))
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_sls_layer_gate_profile():
+    from sls_tpu.config import ExperimentConfig, ModelConfig, TrainConfig, tiny_xlsr_config
+    from sls_tpu.models.sls import (
+        SLSDetector, create_sls_train_state, layer_gate_profile,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(encoder=tiny_xlsr_config(), use_sae=False),
+        train=TrainConfig(batch_size=4, cut_length=1000),
+    )
+    model = SLSDetector(cfg.model)
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (4, 1000)), jnp.float32
+    )
+    state = create_sls_train_state(model, cfg, jax.random.PRNGKey(0), wav[:2])
+    out = layer_gate_profile(model, state.params, state.batch_stats, wav)
+    L = cfg.model.encoder.encoder_layers
+    assert len(out["mean_gate_per_layer"]) == L
+    assert all(0 <= g <= 1 for g in out["mean_gate_per_layer"])
+    assert len(out["most_sensitive_layers"]) == min(5, L)
