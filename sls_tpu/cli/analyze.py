@@ -88,6 +88,11 @@ def _make_loader(args, cfg):
         labels = rng.integers(0, 2, n)
         return ArrayLoader(wavs, labels, batch_size=args.batch_size)
 
+    if not args.protocol or not args.database_path:
+        raise SystemExit(
+            "ERROR: provide --protocol and --database_path for dataset "
+            "analysis, or use --synthetic for a smoke run"
+        )
     labels_map, ids = parse_train_protocol(args.protocol)
     index = DatasetIndex.for_train(ids, labels_map, args.database_path,
                                    ext=args.audio_ext)
