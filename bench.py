@@ -48,6 +48,14 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat runs (and the CI driver) skip
+    # the ~30-300 s remote compile of the 300M program
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from sls_tpu.config import ModelConfig, SAEConfig, XLSRConfig
     from sls_tpu.models.detector import Detector
 
