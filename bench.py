@@ -9,7 +9,7 @@ Timing methodology: every timed iteration ends with a host fetch of the
 [B] score vector (jax.device_get), which forces the full remote execution
 to complete — on relayed/async PJRT backends ``block_until_ready`` alone
 can return before the device work is actually done, producing absurd
-numbers.  The fetched payload is 64 floats, so transfer overhead is
+numbers.  The fetched payload is <=128 floats, so transfer overhead is
 negligible against ~8 TFLOP of forward compute per batch.
 
 ``vs_baseline`` is measured against the reference single-GPU PyTorch
@@ -37,7 +37,7 @@ BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
