@@ -48,13 +48,18 @@ def create_train_state(
     rng: jax.Array,
     sample_wav: jnp.ndarray,
 ) -> TrainState:
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        sample_wav,
-        train=False,
-        # CPC head params only materialize when the CPC branch runs
-        compute_cpc=cfg.model.use_cpc,
+    # jitted init: one compiled program instead of thousands of small
+    # dispatches (matters on relayed backends)
+    init_fn = jax.jit(
+        lambda key: model.init(
+            {"params": key, "dropout": jax.random.fold_in(key, 1)},
+            sample_wav,
+            train=False,
+            # CPC head params only materialize when the CPC branch runs
+            compute_cpc=cfg.model.use_cpc,
+        )
     )
+    variables = init_fn(rng)
     tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx
