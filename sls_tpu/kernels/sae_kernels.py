@@ -247,6 +247,136 @@ def topk_sparsify_pallas(
     return out[:n].reshape(orig_shape)
 
 
+def _window_vote_kernel(acts_ref, out_ref, *, geometry):
+    """Overlap-window vote merge for one utterance, fully VMEM-resident
+    (the SURVEY §7 'window_topk_vote' kernel).
+
+    geometry = (k, stride, num_windows, n_chunks): windows are two
+    stride-chunks wide (w == 2*stride), so window sums are adjacent-chunk
+    sums and the per-frame vote count is the sum of the (at most two)
+    covering windows' masks.
+
+    VMEM budget: everything rides bf16 (fp32 internals overflow the ~16 MB
+    scoped limit at T=201, M=4096); the bit-search runs on the int16 view
+    of non-negative bf16 values (order-preserving), so thresholds are
+    exact at bf16 granularity — near-ties within one bf16 ulp of the k-th
+    value are all kept, matching the documented >=-threshold semantics.
+    """
+    k, stride, num_windows, n_chunks = geometry
+    acts = acts_ref[0]  # [T_k, M] bf16
+    t_k, m = acts.shape
+
+    def kth_threshold_bits(values_bf16, rows):
+        # int16 bit view upcast to int32: Mosaic cannot relayout
+        # 16-bit-tiled bool vectors, and i32 compares are native
+        bits = jax.lax.bitcast_convert_type(values_bf16, jnp.int16).astype(
+            jnp.int32
+        )
+        lo0 = jnp.zeros((rows, 1), jnp.int32)
+        hi0 = jnp.full((rows, 1), jnp.int32(0x7F80))  # bf16 +inf bits
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = lo + ((hi - lo) >> 1)
+            count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
+                            keepdims=True)
+            keep = count >= k
+            return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
+
+        lo, _ = jax.lax.fori_loop(0, 15, body, (lo0, hi0))
+        return bits, lo
+
+    # stride-chunk sums (fp32 accumulate, stored bf16) -> window sums
+    chunk_sums = acts.reshape(n_chunks, stride, m).astype(jnp.float32).sum(
+        axis=1
+    )
+    window_sums = (
+        chunk_sums[:num_windows] + chunk_sums[1 : num_windows + 1]
+    ).astype(jnp.bfloat16)
+
+    w_bits, w_thresh = kth_threshold_bits(window_sums, num_windows)
+    mask_w = (w_bits >= w_thresh).astype(jnp.bfloat16)  # [nw, M]
+
+    # cover[j] = mask_w[j-1] + mask_w[j] over valid windows
+    pad_a = n_chunks - num_windows
+    cover = (
+        jnp.pad(mask_w, ((0, pad_a), (0, 0)))
+        + jnp.pad(mask_w, ((1, pad_a - 1), (0, 0)))
+    )  # [n_chunks, M]
+
+    votes = acts * jnp.broadcast_to(
+        cover[:, None, :], (n_chunks, stride, m)
+    ).reshape(t_k, m)
+
+    v_bits, v_thresh = kth_threshold_bits(votes, t_k)
+    # votes > 0 <=> positive bit pattern (non-negative bf16); int32
+    # compares only — the VPU rejects sub-word comparisons
+    frame_mask = (v_bits >= v_thresh) & (v_bits > 0)
+    out_ref[0] = jnp.where(frame_mask, acts, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window", "interpret"))
+def window_vote_fused(
+    acts: jnp.ndarray, k: int, window: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas overlap-window vote merge; acts [B, T, M] post-ReLU fp32.
+
+    Requires even ``window`` (stride = window // 2, two chunks per
+    window) — the production configuration; callers fall back to the jnp
+    path otherwise.  Matches sae/sparsify.window_topk_overlap exactly.
+    """
+    from sls_tpu.sae.sparsify import _overlap_geometry
+
+    B, T, M = acts.shape
+    stride, num_windows, pad, T_padded = _overlap_geometry(T, window)
+    if window != 2 * stride:
+        raise ValueError("window_vote_fused requires even window sizes")
+
+    n_chunks = -(-T_padded // stride)
+    t_k = n_chunks * stride
+    x = jnp.pad(acts.astype(jnp.bfloat16), ((0, 0), (0, t_k - T), (0, 0)))
+
+    kernel = functools.partial(
+        _window_vote_kernel,
+        geometry=(k, stride, num_windows, n_chunks),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, t_k, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_k, M), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, t_k, M), jnp.bfloat16),
+        interpret=interpret,
+    )(x)
+    return out[:, :T, :].astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def window_topk_overlap_pallas(acts, k, window):
+    """Differentiable fused overlap-vote (training-capable).
+
+    Backward treats the selection mask as constant (identical to the
+    reference's scatter autograd): d_acts = g * (out > 0)."""
+    return window_vote_fused(acts, k=k, window=window)
+
+
+def _wv_fwd(acts, k, window):
+    out = window_vote_fused(acts, k=k, window=window)
+    return out, (out > 0,)
+
+
+def _wv_bwd(k, window, residuals, g):
+    (mask,) = residuals
+    return (jnp.where(mask, g, 0.0),)
+
+
+window_topk_overlap_pallas.defvjp(_wv_fwd, _wv_bwd)
+
+
 @jax.custom_vjp
 def sae_decode(codes, w_dec, b_dec):
     """Differentiable fused decode: Pallas forward, exact XLA backward

@@ -92,6 +92,13 @@ class TopKSAE(nn.Module):
             out = sae_encode_topk(flat, self.W_enc, self.b_enc, self.b_dec,
                                   cfg.k)
             return out.reshape(*x.shape[:-1], cfg.dict_size)
+        if (cfg.use_pallas and cfg.variant == "window_overlap"
+                and x.ndim == 3 and cfg.window_size % 2 == 0):
+            # fused encode + VMEM-resident vote merge
+            from sls_tpu.kernels.sae_kernels import window_topk_overlap_pallas
+
+            acts = self.pre_activations(x)
+            return window_topk_overlap_pallas(acts, cfg.k, cfg.window_size)
         return self.sparsify(self.pre_activations(x))
 
     def encode_threshold(self, x: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:

@@ -231,3 +231,41 @@ def test_topk_sparsify_pallas_matches_jnp():
         topk_sparsify_pallas(jnp.asarray(x), 32, tile_n=64, interpret=True)
     )
     np.testing.assert_allclose(out, ref, atol=1e-7)
+
+
+def test_window_vote_fused_matches_jnp():
+    """Pallas overlap-vote kernel vs sparsify.window_topk_overlap
+    (strictly positive acts; even window)."""
+    from sls_tpu.kernels.sae_kernels import window_vote_fused
+    from sls_tpu.sae.sparsify import window_topk_overlap
+
+    rng = np.random.default_rng(10)
+    for T, w in [(16, 8), (17, 8), (201, 8), (12, 4)]:
+        x = rng.uniform(0.05, 1.0, (2, T, 128)).astype(np.float32)
+        ref = np.asarray(window_topk_overlap(jnp.asarray(x), 16, w))
+        out = np.asarray(window_vote_fused(jnp.asarray(x), k=16, window=w,
+                                           interpret=True))
+        # kernel internals are bf16 (VMEM budget): values match to bf16
+        # precision; supports may differ on near-ties within one bf16 ulp
+        both = (ref > 0) & (out > 0)
+        overlap = both.sum() / max((ref > 0).sum(), 1)
+        assert overlap > 0.93, f"T={T} w={w} support overlap {overlap}"
+        np.testing.assert_allclose(out[both], ref[both], rtol=2e-2,
+                                   atol=2e-2, err_msg=f"T={T} w={w}")
+
+
+def test_window_vote_pallas_vjp():
+    from sls_tpu.kernels.sae_kernels import window_topk_overlap_pallas
+    import sls_tpu.kernels.sae_kernels as sk
+    import jax
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0.05, 1.0, (2, 16, 64)), jnp.float32)
+    orig = sk.window_vote_fused
+    sk.window_vote_fused = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        g = jax.grad(lambda a: (window_topk_overlap_pallas(a, 8, 8) ** 2).sum())(x)
+        out = np.asarray(window_topk_overlap_pallas(x, 8, 8))
+        np.testing.assert_allclose(np.asarray(g), 2 * out, atol=1e-6)
+    finally:
+        sk.window_vote_fused = orig
