@@ -257,7 +257,10 @@ class XLSREncoder(nn.Module):
                 # Compute the layer unconditionally and select — params must
                 # exist on both paths, and a data-dependent skip would defeat
                 # XLA's static schedule anyway.
-                rng = self.make_rng("layerdrop")
+                # Derived from the dropout stream: callers only supply a
+                # "dropout" rng (train/steps.py), and flax's make_rng
+                # already folds in a fresh count per call site.
+                rng = self.make_rng("dropout")
                 keep = jax.random.uniform(rng, ()) >= cfg.layerdrop
                 x = jnp.where(keep, layer(x, deterministic), x)
             else:

@@ -55,6 +55,10 @@ def sae_encode_fused(
     n, d = x.shape
     m = w_enc.shape[1]
     tile_m = min(tile_m, m)
+    if m % tile_m:  # trailing output columns would never be written
+        raise ValueError(
+            f"dict_size {m} must be a multiple of tile_m {tile_m}"
+        )
     n_pad = _round_up(max(n, 1), tile_n)
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
@@ -446,6 +450,10 @@ def sae_decode_fused(
     n, m = codes.shape
     d = w_dec.shape[1]
     tile_k = min(tile_k, m)
+    if m % tile_k:  # part of the contraction would be silently dropped
+        raise ValueError(
+            f"dict_size {m} must be a multiple of tile_k {tile_k}"
+        )
     n_pad = _round_up(max(n, 1), tile_n)
     if n_pad != n:
         codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))

@@ -2,9 +2,13 @@
 
 The score file is the interface between the eval drivers and the official
 scorers (reference: main.py:158-199 ``produce_evaluation_file``).  Lines are
-``<utt_id> <float>`` where the float is the bonafide log-probability
-(higher = more bonafide).  Writes are flushed per batch so a killed eval job
-leaves a usable prefix.
+``<utt_id> <float>`` where the float is P(bonafide) =
+``exp(log_softmax)[:, 1]`` (higher = more bonafide), matching the
+reference contract (main.py:183-185).  Callers with access to log-probs
+should exponentiate in float64 (see Trainer.produce_scores) so confident
+bonafide trials don't saturate to identical 1.0 float32 ties, which would
+coarsen EER/t-DCF resolution.  Writes are flushed per batch so a killed
+eval job leaves a usable prefix.
 """
 
 from __future__ import annotations

@@ -8,6 +8,11 @@ The reference's train/eval epoch machinery (reference: main.py:98-258,
 - CSV training log + TensorBoard scalars (main.py:71-96, 744-750)
 - last/best checkpointing with resume (CheckpointManager)
 - quick_test batch caps (main.py:111-113)
+
+One epoch/fit/score driver (``BaseTrainer``) serves every model family;
+subclasses only supply the model, the jitted steps, and the state tree
+(the reference grew a separate near-identical loop per model script —
+main.py vs train_cpc.py — which this design deliberately collapses).
 """
 
 from __future__ import annotations
@@ -83,8 +88,23 @@ class EpochMetrics:
     eer: float = 50.0
 
 
-class Trainer:
-    """Single-controller SPMD trainer."""
+def _epoch_eer(scores_all: List[np.ndarray], labels_all: List[np.ndarray]) -> float:
+    """EER over an epoch's accumulated scores; 50% on an empty epoch
+    (every batch rejected by the non-finite guard, or an empty loader)."""
+    if not scores_all:
+        return 50.0
+    return roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
+
+
+class BaseTrainer:
+    """Single-controller SPMD epoch driver, shared by all model families.
+
+    Subclasses implement ``_build_model_and_steps`` / ``_create_state`` /
+    ``_state_tree`` / ``_restore_state`` / ``_run_eval`` and inherit the
+    epoch loop, fit, resume chain and score emission.
+    """
+
+    log_prefix = ""
 
     def __init__(
         self,
@@ -101,10 +121,7 @@ class Trainer:
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = Detector(cfg.model)
-
-        self.train_step = make_train_step(self.model, cfg, self.mesh)
-        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        self._build_model_and_steps()
 
         self.ckpt = CheckpointManager(self.run_dir, config_to_json(cfg))
         self.csv = CSVLogger(self.run_dir / "training_log.csv")
@@ -118,28 +135,49 @@ class Trainer:
                 self.tb = None
 
         self.rng = jax.random.PRNGKey(cfg.train.seed)
-        self.state: Optional[TrainState] = None
+        self.state = None
         self.start_epoch = 0
         self.profile_steps = profile_steps
         self._profiled = False
+        self._nonfinite_batches = 0
 
-    # -- state management ---------------------------------------------------
+    # -- subclass surface ----------------------------------------------------
+
+    def _build_model_and_steps(self) -> None:
+        raise TypeError("use Trainer or SLSTrainer, not BaseTrainer")
+
+    def _create_state(self, sample_wav: jnp.ndarray):
+        raise TypeError("use Trainer or SLSTrainer, not BaseTrainer")
+
+    def _state_tree(self) -> Dict:
+        raise TypeError("use Trainer or SLSTrainer, not BaseTrainer")
+
+    def _restore_state(self, restored: Dict) -> None:
+        raise TypeError("use Trainer or SLSTrainer, not BaseTrainer")
+
+    def _run_eval(self, wav) -> Dict:
+        raise TypeError("use Trainer or SLSTrainer, not BaseTrainer")
+
+    def _resume_from_torch(self, path) -> bool:
+        raise ValueError(
+            f"no PyTorch checkpoint migration for {type(self).__name__}"
+        )
+
+    # -- state management ----------------------------------------------------
 
     def init_state(self, sample_wav: Optional[np.ndarray] = None) -> None:
         if sample_wav is None:
             sample_wav = np.zeros((2, self.cfg.train.cut_length), np.float32)
-        state = create_train_state(
-            self.model, self.cfg, self.rng, jnp.asarray(sample_wav)
-        )
+        state = self._create_state(jnp.asarray(sample_wav))
         self.state = replicate(state, self.mesh)
 
     def resume(self, explicit_path=None, fresh_start: bool = False) -> bool:
         """Restore from the resume chain; returns True if resumed.
 
         Explicit paths ending in .pth/.pt are treated as reference PyTorch
-        detector checkpoints and converted (weights-only migration path;
-        reference checkpoints: main.py:753-764 with optional 'module.'
-        prefixes; epoch inferred from the filename as in main.py:380-399).
+        checkpoints and converted (weights-only migration path; reference
+        checkpoints: main.py:753-764 with optional 'module.' prefixes;
+        epoch inferred from the filename as in main.py:380-399).
         """
         if fresh_start:
             return False
@@ -149,53 +187,26 @@ class Trainer:
         if path is None:
             return False
         assert self.state is not None, "call init_state() before resume()"
-        template = {"params": self.state.params, "opt_state": self.state.opt_state,
-                    "step": self.state.step}
-        restored, meta = load_checkpoint(path, template)
-        self.state = self.state.replace(
-            params=replicate(restored["params"], self.mesh),
-            opt_state=replicate(restored["opt_state"], self.mesh),
-            step=jnp.asarray(restored["step"]),
-        )
+        restored, meta = load_checkpoint(path, self._state_tree())
+        self._restore_state(restored)
         self.start_epoch = meta["epoch"] + 1
         return True
 
-    def _resume_from_torch(self, path) -> bool:
-        """Weights-only restore from a reference PyTorch checkpoint."""
+    def _torch_epoch_from(self, raw, path) -> None:
+        """Set start_epoch from a torch checkpoint dict or its filename."""
         import re
 
-        import torch
-
-        from sls_tpu.encoder.convert import detector_state_to_flax
-
-        assert self.state is not None, "call init_state() before resume()"
-        raw = torch.load(path, map_location="cpu", weights_only=True)
-        state = raw.get("model", raw) if isinstance(raw, dict) else raw
-        state = {k: np.asarray(v) for k, v in state.items()}
-        params = detector_state_to_flax(state, self.cfg.model)
-        self.state = self.state.replace(
-            params=replicate(params, self.mesh)
-        )
         m = re.search(r"epoch[_-]?(\d+)", str(path))
         if isinstance(raw, dict) and "epoch" in raw:
             self.start_epoch = int(raw["epoch"]) + 1
         elif m:
             self.start_epoch = int(m.group(1)) + 1
-        return True
 
-    def _state_tree(self):
-        return {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-        }
-
-    # -- epochs -------------------------------------------------------------
+    # -- epochs ----------------------------------------------------------------
 
     def train_epoch(self, loader, epoch: int) -> EpochMetrics:
         assert self.state is not None
-        tcfg = self.cfg.train
-        aug_cfg = tcfg.rawboost
+        aug_cfg = self.cfg.train.rawboost
         n_seen = 0
         sums = {"loss": 0.0, "cls": 0.0, "sae": 0.0, "cpc": 0.0, "correct": 0.0}
         scores_all: List[np.ndarray] = []
@@ -221,20 +232,20 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, wav, labels, valid_dev, self.rng
             )
+            if not bool(metrics["finite"]):
+                # The jitted step already rejected the whole state
+                # transition (params/moments/batch_stats kept); the batch
+                # contributes nothing to epoch averages either.
+                self._nonfinite_batches += 1
+                print(f"WARNING: non-finite loss at batch {b_idx} "
+                      f"(epoch {epoch}); update rejected", flush=True)
+                continue
             bsz = int(valid.sum())
             n_seen += bsz
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                # NaN/Inf guard (reference: main.py:140-143,239-241 filters
-                # non-finite scores); flag loudly — the step already applied
-                self._nonfinite_batches = getattr(self, "_nonfinite_batches", 0) + 1
-                print(f"WARNING: non-finite loss at batch {b_idx} "
-                      f"(epoch {epoch})", flush=True)
-                continue
-            sums["loss"] += loss_val * bsz
-            sums["cls"] += float(metrics["cls_loss"]) * bsz
-            sums["sae"] += float(metrics["sae_loss"]) * bsz
-            sums["cpc"] += float(metrics["cpc_loss"]) * bsz
+            sums["loss"] += float(metrics["loss"]) * bsz
+            sums["cls"] += float(metrics.get("cls_loss", 0.0)) * bsz
+            sums["sae"] += float(metrics.get("sae_loss", 0.0)) * bsz
+            sums["cpc"] += float(metrics.get("cpc_loss", 0.0)) * bsz
             sums["correct"] += float(metrics["correct"])
             s = np.asarray(metrics["scores"])[valid]
             scores_all.append(s)
@@ -247,12 +258,12 @@ class Trainer:
         if profiling:
             jax.profiler.stop_trace()
             self._profiled = True
-        eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
         n = max(n_seen, 1)
         return EpochMetrics(
             loss=sums["loss"] / n, cls_loss=sums["cls"] / n,
             sae_loss=sums["sae"] / n, cpc_loss=sums["cpc"] / n,
-            acc=100.0 * sums["correct"] / n, eer=eer,
+            acc=100.0 * sums["correct"] / n,
+            eer=_epoch_eer(scores_all, labels_all),
         )
 
     def validate(self, loader) -> EpochMetrics:
@@ -270,7 +281,7 @@ class Trainer:
                 self.mesh, batch.wav, batch.labels, batch.valid
             )
             wav = shard_batch(jnp.asarray(wav_np), self.mesh)
-            out = self.eval_step(self.state.params, wav)
+            out = self._run_eval(wav)
             logp = np.asarray(out["log_probs"])
             s = np.asarray(out["score"])
             v = valid
@@ -283,16 +294,16 @@ class Trainer:
                     self.cfg.train.loss_weights,
                 )
             ) * bsz
-            sae_sum += float(out["sae_loss"]) * bsz
+            sae_sum += float(out.get("sae_loss", 0.0)) * bsz
             correct += float((np.argmax(logp[v], -1) == batch_labels[v]).sum())
             scores_all.append(s[v])
             labels_all.append(batch_labels[v])
 
-        eer = roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
         n = max(n_seen, 1)
         return EpochMetrics(
             loss=loss_sum / n, sae_loss=sae_sum / n,
-            acc=100.0 * correct / n, eer=eer,
+            acc=100.0 * correct / n,
+            eer=_epoch_eer(scores_all, labels_all),
         )
 
     def fit(self, train_loader, val_loader, num_epochs: Optional[int] = None):
@@ -335,13 +346,13 @@ class Trainer:
             )
             marker = " *best*" if improved else ""
             print(
-                f"epoch {epoch}: train_loss={tr.loss:.4f} "
+                f"{self.log_prefix}epoch {epoch}: train_loss={tr.loss:.4f} "
                 f"train_eer={tr.eer:.2f}% val_eer={va.eer:.2f}%"
                 f" ({dt:.1f}s){marker}",
                 flush=True,
             )
 
-    # -- scoring ------------------------------------------------------------
+    # -- scoring ----------------------------------------------------------------
 
     def produce_scores(self, loader, out_path) -> int:
         """Emit the `utt score` file for a track's eval set
@@ -358,8 +369,10 @@ class Trainer:
                 nonlocal n
                 utt_ids, valid, out = item
                 # score-file contract: P(bonafide) = exp(log_softmax)[:, 1]
-                # (reference: main.py:183-185)
-                score = np.asarray(out["score"])  # blocks on the device
+                # (reference: main.py:183-185); exponentiated in float64 so
+                # confident trials don't collapse into 1.0 float32 ties
+                logp = np.asarray(out["log_probs"])  # blocks on the device
+                score = np.exp(logp.astype(np.float64))[:, 1]
                 writer.write_batch(
                     [u for u, ok in zip(utt_ids, valid) if ok], score[valid]
                 )
@@ -370,7 +383,7 @@ class Trainer:
                     self.mesh, batch.wav, None, batch.valid
                 )
                 wav = shard_batch(jnp.asarray(wav_np), self.mesh)
-                out = self.eval_step(self.state.params, wav)  # async
+                out = self._run_eval(wav)  # async
                 if pending is not None:
                     flush(pending)
                 utt_ids = list(batch.utt_ids) + [""] * (len(valid) - len(batch.utt_ids))
@@ -378,3 +391,50 @@ class Trainer:
             if pending is not None:
                 flush(pending)
         return n
+
+
+class Trainer(BaseTrainer):
+    """SPMD trainer for the SAE Detector families (per-timestep / window /
+    CPC / frozen-SSL)."""
+
+    def _build_model_and_steps(self) -> None:
+        self.model = Detector(self.cfg.model)
+        self.train_step = make_train_step(self.model, self.cfg, self.mesh)
+        self.eval_step = make_eval_step(self.model, self.cfg, self.mesh)
+
+    def _create_state(self, sample_wav: jnp.ndarray) -> TrainState:
+        return create_train_state(self.model, self.cfg, self.rng, sample_wav)
+
+    def _state_tree(self):
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+
+    def _restore_state(self, restored) -> None:
+        self.state = self.state.replace(
+            params=replicate(restored["params"], self.mesh),
+            opt_state=replicate(restored["opt_state"], self.mesh),
+            step=jnp.asarray(restored["step"]),
+        )
+
+    def _run_eval(self, wav):
+        return self.eval_step(self.state.params, wav)
+
+    def _resume_from_torch(self, path) -> bool:
+        """Weights-only restore from a reference PyTorch checkpoint."""
+        import torch
+
+        from sls_tpu.encoder.convert import detector_state_to_flax
+
+        assert self.state is not None, "call init_state() before resume()"
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        state = raw.get("model", raw) if isinstance(raw, dict) else raw
+        state = {k: np.asarray(v) for k, v in state.items()}
+        params = detector_state_to_flax(state, self.cfg.model)
+        self.state = self.state.replace(
+            params=replicate(params, self.mesh)
+        )
+        self._torch_epoch_from(raw, path)
+        return True

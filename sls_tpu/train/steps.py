@@ -106,6 +106,14 @@ def make_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads=grads)
+        # Non-finite guard INSIDE the step: a NaN/Inf loss must not poison
+        # params or Adam moments, so the update is committed only when the
+        # loss is finite (the reference filters non-finite scores,
+        # main.py:140-143; here the whole state transition is rejected).
+        finite = jnp.isfinite(loss)
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), new_state, state
+        )
         correct = ((jnp.argmax(aux["log_probs"], -1) == labels) * valid).sum()
         metrics = {
             "loss": loss,
@@ -114,6 +122,7 @@ def make_train_step(
             "cpc_loss": aux["cpc_loss"],
             "scores": aux["scores"],
             "correct": correct,
+            "finite": finite,
         }
         return new_state, metrics
 

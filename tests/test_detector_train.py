@@ -214,3 +214,42 @@ class TestShardedTraining:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-3
             )
+
+
+def test_nonfinite_guard_preserves_state():
+    """A NaN loss must reject the whole state transition (params AND Adam
+    moments) inside the jitted step (ADVICE r1: the old host-side guard
+    ran after the update had already poisoned the state)."""
+    cfg = tiny_experiment()
+    model = Detector(cfg.model)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, rng, jnp.zeros((2, WAV_LEN)))
+    step = make_train_step(model, cfg, mesh=None)
+
+    wavs, labels = synthetic_batch(np.random.default_rng(0), 4)
+    valid = jnp.ones(4, bool)
+
+    # one good step to warm Adam moments
+    state, metrics = step(state, wavs, labels, valid, rng)
+    assert bool(metrics["finite"])
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
+    opt_before = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    step_before = int(state.step)
+
+    bad = wavs.at[0, 0].set(jnp.nan)
+    state, metrics = step(state, bad, labels, valid, rng)
+    assert not bool(metrics["finite"])
+    assert not np.isfinite(float(metrics["loss"]))
+
+    params_after = jax.tree_util.tree_map(np.asarray, state.params)
+    opt_after = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           params_before, params_after)
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           opt_before, opt_after)
+    assert int(state.step) == step_before  # rejected steps don't advance
+
+    # and the next good batch still trains
+    state, metrics = step(state, wavs, labels, valid, rng)
+    assert bool(metrics["finite"])
+    assert int(state.step) == step_before + 1
