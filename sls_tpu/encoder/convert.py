@@ -267,3 +267,55 @@ def infer_sae_config_from_state(
     dict_size, activation_dim = s[f"{prefix}encoder.weight"].shape
     k = int(np.asarray(s.get(f"{prefix}k", 128)))
     return SAEConfig(activation_dim=activation_dim, dict_size=dict_size, k=k)
+
+
+def sls_head_state_to_flax(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert the upstream SLS head parameters (fc0 / first_bn / fc1 /
+    fc3; remnant at reference model_backup.py:186-201) to SLSHead params
+    + batch_stats collections."""
+    s = strip_prefixes(state)
+    params = {
+        "fc0": _linear(s, "fc0"),
+        "first_bn": {
+            "scale": s["first_bn.weight"],
+            "bias": s["first_bn.bias"],
+        },
+        "fc1": _linear(s, "fc1"),
+        "fc3": _linear(s, "fc3"),
+    }
+    batch_stats = {
+        "first_bn": {
+            "mean": s["first_bn.running_mean"],
+            "var": s["first_bn.running_var"],
+        }
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def sls_detector_state_to_flax(
+    state: Mapping[str, Any], cfg: ModelConfig
+) -> Dict[str, Any]:
+    """Convert a full upstream SLS checkpoint (state dict with
+    ssl_model.model.* fairseq encoder + fc0/first_bn/fc1/fc3 head, with
+    optional DataParallel 'module.' prefixes) into SLSDetector variables:
+    {"params": {encoder, sls_head}, "batch_stats": {sls_head}}.
+
+    This is the migration path for the model behind the headline numbers
+    (EER 1.92% DF / 2.87% LA, reference README.md:84-86).
+    """
+    s = strip_prefixes(state)
+    enc_state = {
+        k[len("ssl_model.model."):]: v
+        for k, v in s.items()
+        if k.startswith("ssl_model.model.")
+    }
+    head = sls_head_state_to_flax(
+        {k: v for k, v in s.items() if not k.startswith("ssl_model.")}
+    )
+    return {
+        "params": {
+            "encoder": fairseq_encoder_to_flax(enc_state, cfg.encoder),
+            "sls_head": head["params"],
+        },
+        "batch_stats": {"sls_head": head["batch_stats"]},
+    }

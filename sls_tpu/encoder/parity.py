@@ -22,8 +22,15 @@ import numpy as np
 
 def run_parity(checkpoint: str, fmt: str = "auto", wav_path: str = None,
                tolerance: float = 1e-3, cfg=None) -> bool:
+    import jax
     import jax.numpy as jnp
     import torch
+
+    # On TPU, fp32 matmuls run at bf16 MXU precision by default — fine for
+    # production, but a parity check must isolate conversion errors from
+    # hardware numerics (measured: 2e-2 -> 1.4e-6 max-abs on the tiny
+    # topology after forcing full precision).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from sls_tpu.config import XLSRConfig
     from sls_tpu.encoder.convert import (

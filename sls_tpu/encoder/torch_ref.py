@@ -167,3 +167,88 @@ def torch_reference_forward(
     if return_stages:
         return stages["final"], stages
     return stages["final"]
+
+
+def make_sls_head_state(seed: int = 0, flat_dim: int = None,
+                        embed_dim: int = 1024) -> Dict[str, np.ndarray]:
+    """Random upstream-named SLS head state dict (fc0 / first_bn / fc1 /
+    fc3, the parameter names of the upstream SLS checkpoint whose remnant
+    is reference model_backup.py:186-201).
+
+    ``flat_dim`` is floor(T/3) * floor(C/3) (22847 at the production
+    T=201, C=1024 shape).
+    """
+    rng = np.random.default_rng(seed)
+
+    def w(*shape, scale=0.2):
+        return (rng.normal(size=shape) * scale).astype(np.float32)
+
+    return {
+        "fc0.weight": w(1, embed_dim),
+        "fc0.bias": w(1),
+        "first_bn.weight": 1.0 + w(1, scale=0.05),
+        "first_bn.bias": w(1, scale=0.05),
+        "first_bn.running_mean": w(1, scale=0.1),
+        "first_bn.running_var": 1.0 + np.abs(w(1, scale=0.1)),
+        "first_bn.num_batches_tracked": np.asarray(0, np.int64),
+        "fc1.weight": w(1024, flat_dim, scale=0.02),
+        "fc1.bias": w(1024, scale=0.02),
+        "fc3.weight": w(2, 1024, scale=0.1),
+        "fc3.bias": w(2, scale=0.1),
+    }
+
+
+def torch_sls_forward(
+    enc_state: Dict[str, np.ndarray],
+    head_state: Dict[str, np.ndarray],
+    cfg: XLSRConfig,
+    wav: np.ndarray,
+) -> np.ndarray:
+    """Torch-functional forward of the full upstream XLS-R+SLS model
+    (eval mode, running BatchNorm stats): getAttenF -> fc0/sigmoid ->
+    gate-weighted layer sum -> BatchNorm2d(1) -> SELU -> max_pool2d(3,3)
+    -> flatten -> fc1 -> SELU -> fc3 -> SELU -> log_softmax.
+
+    Reference semantics: model_backup.py:183-201 (getAttenF + the
+    double-forward layer_results fetch) and the upstream SLS repo's
+    Model.forward.  layer_results = per-layer outputs pre-final-LN
+    (wav2vec/wav2vec2.py:939-960).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    T_ = torch.from_numpy
+
+    _, stages = torch_reference_forward(enc_state, cfg, wav, return_stages=True)
+    layer_results = [
+        T_(stages[f"layer_{i}"]) for i in range(cfg.encoder_layers)
+    ]  # each [B, T, C]
+
+    with torch.no_grad():
+        # getAttenF: gates from per-layer time pooling
+        pooled = torch.stack([lr.mean(dim=1) for lr in layer_results], dim=1)
+        # pooled: [B, L, C]
+        y0 = torch.sigmoid(
+            F.linear(pooled, T_(head_state["fc0.weight"]),
+                     T_(head_state["fc0.bias"]))
+        )  # [B, L, 1]
+        full = torch.stack(layer_results, dim=1)  # [B, L, T, C]
+        fused = (full * y0[..., None]).sum(dim=1)  # [B, T, C]
+
+        x = fused.unsqueeze(1)  # [B, 1, T, C]
+        x = F.batch_norm(
+            x,
+            T_(head_state["first_bn.running_mean"]),
+            T_(head_state["first_bn.running_var"]),
+            T_(head_state["first_bn.weight"]),
+            T_(head_state["first_bn.bias"]),
+            training=False, eps=1e-5,
+        )
+        x = F.selu(x)
+        x = F.max_pool2d(x, (3, 3))
+        x = torch.flatten(x, 1)
+        x = F.linear(x, T_(head_state["fc1.weight"]), T_(head_state["fc1.bias"]))
+        x = F.selu(x)
+        x = F.linear(x, T_(head_state["fc3.weight"]), T_(head_state["fc3.bias"]))
+        x = F.selu(x)
+        return F.log_softmax(x, dim=1).numpy()

@@ -4,20 +4,25 @@ The upstream XLS-R+SLS architecture behind the reference's headline
 numbers (EER 1.92% 2021-DF / 2.87% 2021-LA, README.md:84-86).  The
 reference repo keeps only a remnant (``getAttenF`` + the double-forward
 ``layer_results`` fetch, model_backup.py:183-201); this is a complete
-TPU-native implementation:
+TPU-native implementation of the full upstream chain:
 
+    getAttenF: per-layer time-pool -> fc0 -> sigmoid gates;
+    gate-weighted sum over layers -> [B, T, C] -> unsqueeze channel ->
+    BatchNorm2d(1) -> SELU -> max_pool2d(3,3) -> flatten ->
+    fc1 -> SELU -> fc3 -> SELU -> log_softmax
+
+Differences from the remnant's execution (not semantics):
 - the encoder is run ONCE with ``return_hidden_states=True`` (the remnant
   called the 300M encoder twice per step to get layer_results)
-- per-layer time-pooled features gate each layer via a sigmoid scalar
-  (sensitive layer selection), layers are summed in one einsum instead of
-  a Python loop over 24 layer tensors
-- head: BatchNorm -> SELU -> 3x3 max-pool over the (T, C) grid ->
-  flatten -> Linear(1024) -> SELU -> Linear(2) -> log-softmax
+- the per-layer Python loop over 24 tensors becomes one einsum
+- submodule names (fc0 / first_bn / fc1 / fc3) match the upstream torch
+  checkpoint so migration is mechanical (see encoder/convert.py
+  sls_detector_state_to_flax)
 """
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -32,31 +37,37 @@ class SLSHead(nn.Module):
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, train: bool = False):
         """hidden_states: [L, B, T, C] stacked per-layer encoder outputs
+        (fairseq layer_results: per-layer, pre-final-LN)
         -> log-probabilities [B, num_classes]."""
         h = hidden_states.astype(jnp.float32)
         L, B, T, C = h.shape
 
-        # layer gates from time-pooled features: [L, B, 1]
+        # getAttenF gates: adaptive_avg_pool1d over time -> fc0 -> sigmoid
         pooled = h.mean(axis=2)  # [L, B, C]
         gate = jax.nn.sigmoid(
             nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
-                     name="layer_gate")(pooled)
+                     name="fc0")(pooled)
         )
         # sensitive-layer-weighted fusion: [B, T, C]
         fused = jnp.einsum("lbtc,lb->btc", h, gate[..., 0])
 
-        x = fused[..., None]  # [B, T, C, 1] — NHWC for norm/pool
+        x = fused[..., None]  # [B, T, C, 1] — NHWC; torch is [B, 1, T, C]
+        # BatchNorm2d(1): one mean/var over all (B, T, C) elements of the
+        # single channel; torch momentum 0.1 == flax momentum 0.9
         x = nn.BatchNorm(
-            use_running_average=not train, axis=-1,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
+            use_running_average=not train, axis=-1, momentum=0.9,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="first_bn",
         )(x)
         x = jax.nn.selu(x)
         x = nn.max_pool(x, window_shape=(3, 3), strides=(3, 3))
+        # flatten: [B, T', C', 1] C-order == torch [B, 1, T', C'] flatten
         x = x.reshape(B, -1)
 
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(x)
         x = jax.nn.selu(x.astype(jnp.float32))
-        logits = nn.Dense(self.num_classes, dtype=jnp.float32,
-                          param_dtype=jnp.float32, name="fc2")(x)
-        return jax.nn.log_softmax(logits, axis=-1)
+        x = nn.Dense(self.num_classes, dtype=jnp.float32,
+                     param_dtype=jnp.float32, name="fc3")(x)
+        # upstream applies SELU to the 2-class logits before log_softmax
+        x = jax.nn.selu(x)
+        return jax.nn.log_softmax(x, axis=-1)

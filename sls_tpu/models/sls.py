@@ -148,7 +148,7 @@ class _GateProbe(nn.Module):
         pooled = stacked.mean(axis=2)  # [L, B, C]
         gate = jax.nn.sigmoid(
             nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
-                     name="layer_gate")(pooled)
+                     name="fc0")(pooled)
         )
         return gate[..., 0]  # [L, B]
 
@@ -166,7 +166,7 @@ def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
     probe = _GateProbe(model.config)
     probe_params = {
         "encoder": params["encoder"],
-        "layer_gate": params["sls_head"]["layer_gate"],
+        "fc0": params["sls_head"]["fc0"],
     }
     gates = np.asarray(
         jax.jit(lambda p, w: probe.apply({"params": p}, w))(probe_params, wav)
@@ -212,3 +212,26 @@ class SLSTrainer(BaseTrainer):
 
     def _run_eval(self, wav):
         return self.eval_step(self.state.params, self.state.batch_stats, wav)
+
+    def _resume_from_torch(self, path) -> bool:
+        """Weights-only restore from an upstream SLS PyTorch checkpoint
+        (the model behind EER 1.92% DF / 2.87% LA, reference
+        README.md:84-86; parameter names fc0/first_bn/fc1/fc3 +
+        ssl_model.model.*)."""
+        import numpy as np
+        import torch
+
+        from sls_tpu.encoder.convert import sls_detector_state_to_flax
+        from sls_tpu.parallel.mesh import replicate
+
+        assert self.state is not None, "call init_state() before resume()"
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        state = raw.get("model", raw) if isinstance(raw, dict) else raw
+        state = {k: np.asarray(v) for k, v in state.items()}
+        variables = sls_detector_state_to_flax(state, self.cfg.model)
+        self.state = self.state.replace(
+            params=replicate(variables["params"], self.mesh),
+            batch_stats=replicate(variables["batch_stats"], self.mesh),
+        )
+        self._torch_epoch_from(raw, path)
+        return True

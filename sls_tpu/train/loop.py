@@ -372,7 +372,9 @@ class BaseTrainer:
                 # (reference: main.py:183-185); exponentiated in float64 so
                 # confident trials don't collapse into 1.0 float32 ties
                 logp = np.asarray(out["log_probs"])  # blocks on the device
-                score = np.exp(logp.astype(np.float64))[:, 1]
+                # float32 log_softmax can round to tiny POSITIVE values for
+                # p ~ 1; clamp so the score contract stays within [0, 1]
+                score = np.exp(np.minimum(logp, 0.0).astype(np.float64))[:, 1]
                 writer.write_batch(
                     [u for u, ok in zip(utt_ids, valid) if ok], score[valid]
                 )
