@@ -464,10 +464,13 @@ long slsaudio_decode_flac_file(const char* path, float* out,
 // Decode a whole batch in parallel: n files -> out[n * cut], each row
 // decoded then repeat-tiled/cropped to `cut` samples (the reference `pad`
 // semantics, data_utils_SSL.py:58-65).  Unreadable/corrupt files produce
-// zero rows (eval zero-fallback).  Returns the number of successfully
-// decoded files.
-int slsaudio_decode_batch(const char** paths, int n, long cut, float* out,
-                          int n_threads) {
+// zero rows (eval zero-fallback).  When `rates_out` is non-null it
+// receives each file's sample rate (0 on failure) so callers can detect
+// off-rate audio instead of silently training at the wrong rate
+// (reference always resampled: data_utils_SSL.py:87).  Returns the
+// number of successfully decoded files.
+int slsaudio_decode_batch_rates(const char** paths, int n, long cut,
+                                float* out, int* rates_out, int n_threads) {
   if (n <= 0) return 0;
   if (n_threads <= 0) n_threads = 1;
   std::atomic<int> next(0), ok_count(0);
@@ -477,9 +480,11 @@ int slsaudio_decode_batch(const char** paths, int n, long cut, float* out,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
+      int rate = 0;
       long got = slsaudio_decode_flac_file(paths[i], tmp.data(), cut,
-                                           nullptr);
+                                           &rate);
       if (got > 0) ok_count.fetch_add(1);
+      if (rates_out) rates_out[i] = got > 0 ? rate : 0;
       pad_or_tile(tmp.data(), got, out + static_cast<long>(i) * cut, cut);
     }
   };
@@ -490,6 +495,11 @@ int slsaudio_decode_batch(const char** paths, int n, long cut, float* out,
   for (int i = 0; i < workers; ++i) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok_count.load();
+}
+
+int slsaudio_decode_batch(const char** paths, int n, long cut, float* out,
+                          int n_threads) {
+  return slsaudio_decode_batch_rates(paths, n, cut, out, nullptr, n_threads);
 }
 
 }  // extern "C"

@@ -62,6 +62,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
+        lib.slsaudio_decode_batch_rates.restype = ctypes.c_int
+        lib.slsaudio_decode_batch_rates.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         _lib = lib
         return lib
 
@@ -92,18 +101,36 @@ def read_flac(path: PathLike, max_samples: int = MAX_SAMPLES) -> np.ndarray:
 
 
 def decode_batch(
-    paths: Sequence[PathLike], cut: int, n_threads: int = 0
+    paths: Sequence[PathLike],
+    cut: int,
+    n_threads: int = 0,
+    target_sr: int = 16000,
 ) -> np.ndarray:
     """Decode + pad/tile a whole batch natively.  Returns [N, cut] float32;
-    failed files come back as zero rows."""
+    failed files come back as zero rows.
+
+    Files at a sample rate other than ``target_sr`` are re-decoded in full
+    and polyphase-resampled on the host (the reference's librosa path
+    always resampled, data_utils_SSL.py:87; a silent rate mismatch would
+    train/score at the wrong pitch/tempo).  Pass ``target_sr=0`` to skip
+    the check.
+    """
     lib = _load()
     n = len(paths)
     out = np.zeros((n, cut), np.float32)
+    rates = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
-    lib.slsaudio_decode_batch(
+    lib.slsaudio_decode_batch_rates(
         arr, n, cut, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads,
     )
+    if target_sr:
+        for i in np.nonzero((rates != 0) & (rates != target_sr))[0]:
+            from sls_tpu.data.audio import pad_or_tile, resample_to_16k
+
+            wav, sr = read_flac_rate(paths[i])
+            out[i] = pad_or_tile(resample_to_16k(wav, sr), cut)
     return out

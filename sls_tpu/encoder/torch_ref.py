@@ -24,11 +24,20 @@ from sls_tpu.config import XLSRConfig
 from sls_tpu.encoder.convert import fold_weight_norm
 
 
-def make_fairseq_state(cfg: XLSRConfig, seed: int = 0) -> Dict[str, np.ndarray]:
-    """Random fairseq-named wav2vec2 state dict for ``cfg`` (testing)."""
+def make_fairseq_state(
+    cfg: XLSRConfig, seed: int = 0, weight_scale: float = 0.2
+) -> Dict[str, np.ndarray]:
+    """Random fairseq-named wav2vec2 state dict for ``cfg`` (testing).
+
+    ``weight_scale`` sets the base std of matrix weights; the 0.2 default
+    is fine at tiny widths but blows activations up to O(100) at the real
+    1024-dim topology — pass ~1/sqrt(embed_dim) there when the test needs
+    trained-network-like dynamics (e.g. bf16 characterization).
+    """
     rng = np.random.default_rng(seed)
 
-    def w(*shape, scale=0.2):
+    def w(*shape, scale=None):
+        scale = weight_scale if scale is None else scale
         return (rng.normal(size=shape) * scale).astype(np.float32)
 
     s = {}

@@ -131,3 +131,42 @@ class TopKSAE(nn.Module):
 def reconstruction_loss(recon: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean-squared reconstruction error (reference: model.py:225)."""
     return jnp.mean(jnp.square(recon.astype(jnp.float32) - target.astype(jnp.float32)))
+
+
+def calibrate_threshold(
+    acts: jnp.ndarray, k: int, per_feature: bool = False
+) -> jnp.ndarray:
+    """Derive a JumpReLU threshold reproducing TopK-k sparsity on average.
+
+    ``acts``: post-ReLU encoder activations ([..., M], flattened over
+    leading dims; get them from ``TopKSAE.pre_activations`` on a held-out
+    calibration batch).  Returns a scalar (default — the reference's
+    ``threshold`` buffer is a scalar, model_backup.py:62,84) or an [M]
+    per-feature vector; both are chosen so that the expected number of
+    activations above threshold per frame equals ``k``.
+
+    scalar:       t = (1 - k/M)-quantile of ALL activations
+    per-feature:  t_m = (1 - k/M)-quantile of feature m's activations
+                  (expected total actives = sum_m k/M = k)
+    """
+    acts = jnp.asarray(acts, jnp.float32)
+    m = acts.shape[-1]
+    flat = acts.reshape(-1, m)
+    q = 1.0 - k / m
+    if per_feature:
+        return jnp.quantile(flat, q, axis=0)
+    return jnp.quantile(flat.reshape(-1), q)
+
+
+def threshold_from_state(state, prefix: str = "sae.") -> Optional[float]:
+    """Extract the trained scalar ``threshold`` buffer from a reference
+    checkpoint state dict (model_backup.py:62: registered buffer,
+    -1.0 when never calibrated -> returns None)."""
+    import numpy as np
+
+    key = f"{prefix}threshold"
+    cleaned = {k.removeprefix("module."): v for k, v in state.items()}
+    if key not in cleaned:
+        return None
+    value = float(np.asarray(cleaned[key]))
+    return value if value >= 0.0 else None

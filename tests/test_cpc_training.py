@@ -64,3 +64,48 @@ def test_entry_signature():
     # entry() builds the 300M flagship — too heavy for unit tests; just
     # validate it is importable and callable-shaped
     assert callable(entrypoints.entry)
+
+
+def test_cpc_negatives_span_global_batch_under_sharding():
+    """InfoNCE negatives must span the GLOBAL batch when the features are
+    sharded over the data mesh (reference semantics: cross-batch
+    negatives in one process, model_cpc.py:473-528).  If XLA partitioned
+    the [M, M] logits with per-shard softmax denominators, the sharded
+    loss would differ from the single-device loss on the same batch.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sls_tpu.parallel.mesh import make_mesh
+    from sls_tpu.sae.cpc import CPCHead
+
+    mesh = make_mesh()
+    model = CPCHead(CPCConfig(hidden_dim=32, prediction_steps=(1, 2, 4)))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(16, 6, 64)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats)
+
+    loss_single = float(model.apply(params, feats))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    loss_sharded = float(
+        jax.jit(model.apply, in_shardings=(repl, data))(
+            params, jax.device_put(feats, data)
+        )
+    )
+    assert np.isfinite(loss_single) and loss_single > 0
+    np.testing.assert_allclose(loss_sharded, loss_single, atol=1e-5, rtol=1e-5)
+
+    # and a shuffled-shard control: if negatives were per-shard, putting
+    # all hard negatives on one device would change the loss; global
+    # semantics are permutation-covariant so reordering rows must not
+    # change the mean loss (diagonal positives follow the rows).
+    perm = np.asarray([15, 3, 8, 0, 12, 5, 10, 1, 14, 7, 2, 9, 4, 13, 6, 11])
+    loss_perm = float(
+        jax.jit(model.apply, in_shardings=(repl, data))(
+            params, jax.device_put(feats[perm], data)
+        )
+    )
+    np.testing.assert_allclose(loss_perm, loss_single, atol=1e-5, rtol=1e-5)

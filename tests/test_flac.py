@@ -118,3 +118,82 @@ class TestBatchDecode:
         np.testing.assert_allclose(out[1], _expected_float(long)[:cut],
                                    atol=1e-6)
         assert np.all(out[2] == 0)
+
+
+class TestRateHandling:
+    def test_batch_resamples_off_rate_files(self, tmp_path):
+        """A 8 kHz FLAC in a batch must come back resampled to 16 kHz,
+        not silently at the wrong rate (the reference's librosa path
+        always resampled, data_utils_SSL.py:87)."""
+        sr = 8000
+        n = 2000
+        t = np.arange(n) / sr
+        ch = np.round(0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int64)
+        p_off = _write(tmp_path, "off.flac", encode_flac([ch], sample_rate=sr))
+        ch16 = _int16_sine(4000)
+        p_ok = _write(tmp_path, "ok.flac", encode_flac([ch16]))
+
+        cut = 4000
+        out = decode_batch([p_off, p_ok], cut, n_threads=2)
+        # the resampled row should contain a 440 Hz tone at 16 kHz: its
+        # dominant FFT bin must match 440 Hz at the 16 kHz interpretation
+        spec = np.abs(np.fft.rfft(out[0]))
+        freq = np.fft.rfftfreq(cut, d=1.0 / 16000.0)
+        assert abs(freq[int(np.argmax(spec))] - 440.0) < 10.0
+        # and the in-rate row is untouched
+        np.testing.assert_allclose(out[1], _expected_float(ch16), atol=1e-6)
+
+    def test_batch_rate_check_disabled(self, tmp_path):
+        sr = 8000
+        ch = _int16_sine(2000, sr=sr)
+        p = _write(tmp_path, "off2.flac", encode_flac([ch], sample_rate=sr))
+        out = decode_batch([p], 2000, target_sr=0)
+        # raw decode: the samples ARE the 8 kHz stream, tiled
+        np.testing.assert_allclose(out[0], _expected_float(ch), atol=1e-6)
+
+
+class TestFuzzRegression:
+    """Corrupt/truncated input corpus: the decoder must fail cleanly
+    (zero rows / exceptions), never crash or return garbage lengths
+    (an earlier UB bug was caught ad hoc; this is the regression net)."""
+
+    def _corpus(self, tmp_path):
+        good = encode_flac([_int16_sine(3000)])
+        rng = np.random.default_rng(0)
+        cases = {
+            "empty.flac": b"",
+            "magic_only.flac": b"fLaC",
+            "bad_magic.flac": b"OggS" + good[4:],
+            "trunc_header.flac": good[:20],
+            "trunc_frame.flac": good[: len(good) // 2],
+            "trunc_1byte.flac": good[:-1],
+            "random.flac": rng.bytes(4096),
+            "good_plus_garbage.flac": good + rng.bytes(64),
+            "zeroed_streaminfo.flac": good[:8] + b"\x00" * 30 + good[38:],
+            "bitflips.flac": bytes(
+                b ^ (1 if i % 997 == 0 else 0) for i, b in enumerate(good)
+            ),
+        }
+        return [_write(tmp_path, name, blob) for name, blob in cases.items()]
+
+    def test_corrupt_corpus_read_flac(self, tmp_path):
+        from sls_tpu.data.flac import read_flac_rate
+
+        for p in self._corpus(tmp_path):
+            try:
+                wav, rate = read_flac_rate(p)
+                # salvage is allowed, garbage is not
+                assert wav.dtype == np.float32
+                assert 0 <= wav.size <= 16000 * 600
+                assert np.all(np.isfinite(wav))
+                assert np.all(np.abs(wav) <= 1.0 + 1e-6)
+            except ValueError:
+                pass  # clean failure
+
+    def test_corrupt_corpus_batch(self, tmp_path):
+        paths = self._corpus(tmp_path)
+        cut = 1000
+        out = decode_batch(paths, cut, n_threads=4)
+        assert out.shape == (len(paths), cut)
+        assert np.all(np.isfinite(out))
+        assert np.all(np.abs(out) <= 1.0 + 1e-6)

@@ -284,3 +284,86 @@ def test_window_overlap_no_tracer_leak_across_jits():
     f2 = jax.jit(lambda a: window_topk_overlap(a * 2.0, 4, 8).sum())
     float(f1(x))
     float(f2(x))  # second independent trace reuses the cache entry
+
+
+class TestThresholdCalibration:
+    """calibrate_threshold: JumpReLU thresholds reproducing TopK sparsity
+    (reference: the trained scalar `threshold` buffer,
+    model_backup.py:62,75-108)."""
+
+    def _acts(self, n=512, m=256, seed=0):
+        import numpy as np
+        # post-ReLU-like: ~half zeros, positive tail
+        rng = np.random.default_rng(seed)
+        a = rng.normal(0.5, 1.0, size=(n, m)).astype(np.float32)
+        return np.maximum(a, 0.0)
+
+    def test_scalar_threshold_reproduces_k(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sls_tpu.sae.topk import calibrate_threshold
+
+        k = 32
+        acts = self._acts()
+        t = calibrate_threshold(jnp.asarray(acts), k)
+        active = (acts > float(t)).sum(axis=1)
+        assert abs(active.mean() - k) < 0.15 * k
+
+    def test_per_feature_threshold_reproduces_k(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sls_tpu.sae.topk import calibrate_threshold
+
+        k = 32
+        acts = self._acts(seed=3)
+        t = np.asarray(calibrate_threshold(jnp.asarray(acts), k,
+                                           per_feature=True))
+        assert t.shape == (acts.shape[1],)
+        active = (acts > t).sum(axis=1)
+        assert abs(active.mean() - k) < 0.15 * k
+
+    def test_roundtrip_through_encode_threshold(self):
+        """Calibrate on pre_activations, then encode_threshold should
+        produce ~k active codes per frame with high overlap vs TopK."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sls_tpu.config import SAEConfig
+        from sls_tpu.sae.topk import TopKSAE, calibrate_threshold
+
+        cfg = SAEConfig(activation_dim=64, dict_size=256, k=32)
+        sae = TopKSAE(cfg)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+        params = sae.init(jax.random.PRNGKey(0), x)["params"]
+
+        acts = sae.apply({"params": params}, x, method="pre_activations")
+        t = calibrate_threshold(acts, cfg.k)
+        codes_t = np.asarray(sae.apply(
+            {"params": params}, x, t, method="encode_threshold"
+        ))
+        codes_k = np.asarray(sae.apply({"params": params}, x, method="encode"))
+
+        active = (codes_t > 0).sum(axis=1)
+        assert abs(active.mean() - cfg.k) < 0.2 * cfg.k
+        # the threshold picks (globally) big activations: strong overlap
+        # with the per-row TopK support
+        inter = ((codes_t > 0) & (codes_k > 0)).sum()
+        assert inter / (codes_k > 0).sum() > 0.7
+
+    def test_threshold_from_state(self):
+        import numpy as np
+
+        from sls_tpu.sae.topk import threshold_from_state
+
+        state = {"sae.threshold": np.asarray(0.25, np.float32)}
+        assert threshold_from_state(state) == 0.25
+        # never-calibrated sentinel (-1.0) and missing key -> None
+        assert threshold_from_state({"sae.threshold": np.asarray(-1.0)}) is None
+        assert threshold_from_state({}) is None
+        assert threshold_from_state(
+            {"module.sae.threshold": np.asarray(0.5, np.float32)}
+        ) == 0.5
