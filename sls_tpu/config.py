@@ -61,10 +61,23 @@ class XLSRConfig:
     # fused VMEM attention kernel (eval path; falls back to XLA when
     # training so autodiff works)
     fused_attention: bool = False
+    # tanh-approx GELU: max-abs error ~3e-3 vs exact erf — below the
+    # bf16 pipeline's own round-off (~1.5% at the final features,
+    # docs/PARITY_FULL_TOPOLOGY.json) and ~1.7x cheaper on the VPU
+    # (measured 15.6 -> 9.2 ms on the layer-0-sized activation).
+    # None = resolve by dtype: approximate iff dtype is bfloat16, so the
+    # fp32 golden-parity path always uses the exact erf form.
+    approx_gelu: Optional[bool] = None
 
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def use_approx_gelu(self) -> bool:
+        if self.approx_gelu is None:
+            return self.dtype == jnp.bfloat16
+        return self.approx_gelu
 
     def num_frames(self, num_samples: int) -> int:
         """Output frame count of the conv front-end for a waveform length."""

@@ -20,7 +20,7 @@ for XLA/TPU from scratch:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,13 @@ class ConvFeatureExtractor(nn.Module):
     Reference: wav2vec/wav2vec2.py:773-851 (ConvFeatureExtractionModel).
     Norm mode: 'layer_norm' (XLS-R) normalizes after every conv; 'default'
     group-norms only the first layer.
+
+    Stays on ``lax.conv``: with correct (pipelined-dispatch) timing on
+    v5e the conv stack is ~25-30 ms at B=128 and phase-GEMM
+    reformulations measured SLOWER (L0 4.7 -> 7.4 ms, L1 9.3 -> 22.8 ms;
+    the [B,2T,C]->[B,T,2C] reshape and strided tail slice are real HBM
+    relayouts on TPU's tiled layout).  r1's im2col attempt lost for the
+    same reason (docs/BENCH_NOTES_r1.json negative_results).
     """
 
     config: XLSRConfig
@@ -92,7 +99,9 @@ class ConvFeatureExtractor(nn.Module):
                 h = Fp32LayerNorm(name=f"norm_{i}")(h)
             elif cfg.extractor_mode == "default" and i == 0:
                 h = Fp32GroupNorm(num_groups=dim, name=f"norm_{i}")(h)
-            h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+            h = jax.nn.gelu(
+                h.astype(jnp.float32), approximate=cfg.use_approx_gelu
+            ).astype(cfg.dtype)
         return h
 
 
@@ -123,7 +132,9 @@ class PositionalConv(nn.Module):
         )(x)
         if cfg.conv_pos % 2 == 0:
             h = h[:, :-1, :]
-        return jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+        return jax.nn.gelu(
+            h.astype(jnp.float32), approximate=cfg.use_approx_gelu
+        ).astype(cfg.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -182,7 +193,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
-        act = {"gelu": lambda h: jax.nn.gelu(h, approximate=False),
+        act = {"gelu": lambda h: jax.nn.gelu(h, approximate=cfg.use_approx_gelu),
                "relu": jax.nn.relu}[cfg.activation]
 
         attn_ln = Fp32LayerNorm(name="self_attn_layer_norm")

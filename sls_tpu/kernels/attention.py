@@ -30,6 +30,68 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _attn_heads_kernel(h_blk, head_dim, q_ref, k_ref, v_ref, o_ref):
+    """h_blk heads per grid cell; refs are [1, T, h_blk*head_dim] lane
+    slices of the [B, T, C] projection outputs — no relayout."""
+    q = q_ref[0]  # [T, h_blk*Dh]
+    k = k_ref[0]
+    v = v_ref[0]
+    for i in range(h_blk):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        scores = jnp.dot(q[:, sl], k[:, sl].T,
+                         preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)  # fp32 island, VMEM-only
+        o_ref[0, :, sl] = jnp.dot(
+            probs.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "h_blk", "interpret"))
+def fused_attention_heads(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    h_blk: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax(q_h @ k_h^T) @ v_h per head with fp32 softmax, VMEM-resident.
+
+    q, k, v: [B, T, C] projection outputs (q pre-scaled by Dh^-0.5); the
+    per-head split happens INSIDE the kernel as lane slices, so unlike the
+    r1 per-(b,h) variant there is no [B,T,H,Dh] relayout on either side
+    (that relayout made r1's kernel a net loss, kernels/attention.py
+    module docstring).  With h_blk=2 and Dh=64 each grid cell owns a
+    128-lane slice — aligned to the vreg lane width.
+
+    Removes the [B, H, T, T] score tensor's HBM round-trips (~1 GB/layer
+    at B=128, T=202): scores + softmax + PV stay in VMEM.
+    """
+    B, T, C = q.shape
+    Dh = C // num_heads
+    assert num_heads % h_blk == 0, (num_heads, h_blk)
+    lanes = h_blk * Dh
+
+    out = pl.pallas_call(
+        functools.partial(_attn_heads_kernel, h_blk, Dh),
+        grid=(B, num_heads // h_blk),
+        in_specs=[
+            pl.BlockSpec((1, T, lanes), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, lanes), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, lanes), lambda b, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, lanes), lambda b, j: (b, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0]  # [T, Dh]
     k = k_ref[0]

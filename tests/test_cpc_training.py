@@ -18,6 +18,7 @@ from sls_tpu.train.loop import Trainer
 from tests.test_detector_train import WAV_LEN, synthetic_batch, tiny_model_config
 
 
+@pytest.mark.slow
 def test_cpc_trainer_epoch(tmp_path):
     """Three-loss CPC training through the Trainer (reference:
     train_cpc.py:165-232 train_epoch with cls/sae/cpc logging)."""

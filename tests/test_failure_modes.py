@@ -106,6 +106,7 @@ def test_threshold_encode():
     assert kept.sum() > 0
 
 
+@pytest.mark.slow
 def test_frozen_encoder_stops_gradient():
     from sls_tpu.models.detector import Detector
     from sls_tpu.train.loss import weighted_nll

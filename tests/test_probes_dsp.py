@@ -152,17 +152,17 @@ class TestSLSModel:
             np.random.default_rng(0).normal(0, 0.1, (4, 1000)), jnp.float32
         )
         state = create_sls_train_state(model, cfg, jax.random.PRNGKey(0), wav[:2])
-        assert "bn" in state.batch_stats["sls_head"]
+        assert "first_bn" in state.batch_stats["sls_head"]
 
         step = make_sls_train_step(model, cfg, mesh=None)
         labels = jnp.asarray([0, 1, 0, 1])
         valid = jnp.ones(4, bool)
-        prev_bn = np.asarray(state.batch_stats["sls_head"]["bn"]["mean"]).copy()
+        prev_bn = np.asarray(state.batch_stats["sls_head"]["first_bn"]["mean"]).copy()
         state, metrics = step(state, wav, labels, valid, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         # batch stats updated
         assert not np.allclose(
-            np.asarray(state.batch_stats["sls_head"]["bn"]["mean"]), prev_bn
+            np.asarray(state.batch_stats["sls_head"]["first_bn"]["mean"]), prev_bn
         )
 
         eval_step = make_sls_eval_step(model, mesh=None)

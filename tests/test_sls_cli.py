@@ -8,6 +8,8 @@ from sls_tpu.cli.main import main
 from sls_tpu.scores.writer import read_score_file
 from tests.test_cli import _base_args, mini_dataset  # fixture reuse
 
+pytestmark = pytest.mark.slow  # heavy integration tier
+
 
 def test_sls_cli_train_and_eval(mini_dataset, tmp_path):
     run_root = tmp_path / "models"

@@ -46,6 +46,7 @@ def run(tmp_path_factory):
     return trainer, run_dir, cfg, val_loader
 
 
+@pytest.mark.slow
 def test_fit_writes_log_and_checkpoints(run):
     trainer, run_dir, cfg, _ = run
     with open(run_dir / "training_log.csv") as f:
@@ -62,6 +63,7 @@ def test_learns_separable_task(run):
     assert metrics.eer < 40.0  # random = 50%
 
 
+@pytest.mark.slow
 def test_resume_continues_epoch_count(run):
     trainer, run_dir, cfg, _ = run
     trainer2 = Trainer(cfg, run_dir, tensorboard=False)
