@@ -60,13 +60,18 @@ def fused_attention_heads(
 
     q, k, v: [B, T, C] projection outputs (q pre-scaled by Dh^-0.5); the
     per-head split happens INSIDE the kernel as lane slices, so unlike the
-    r1 per-(b,h) variant there is no [B,T,H,Dh] relayout on either side
-    (that relayout made r1's kernel a net loss, kernels/attention.py
-    module docstring).  With h_blk=2 and Dh=64 each grid cell owns a
-    128-lane slice — aligned to the vreg lane width.
+    r1 per-(b,h) variant there is no [B,T,H,Dh] relayout on either side.
+    With h_blk=2 and Dh=64 each grid cell owns a 128-lane slice — aligned
+    to the vreg lane width.
 
-    Removes the [B, H, T, T] score tensor's HBM round-trips (~1 GB/layer
-    at B=128, T=202): scores + softmax + PV stay in VMEM.
+    MEASURED (v5e-1, B=128, T=202, H=16, r2): SLOWER than XLA's in-model
+    fused attention at every h_blk (284-677 ms vs the whole einsum path)
+    — the [202, 64] per-head matmuls underfill the MXU and Mosaic
+    serializes the head loop.  At T~200 the [B,H,T,T] score tensor is
+    small enough that XLA's own fusion wins; this kernel remains for
+    long-sequence paths (T >= ~1k) where score materialization dominates.
+    NOT wired into the model; fused_attention (below) is the flag-gated
+    variant.
     """
     B, T, C = q.shape
     Dh = C // num_heads

@@ -269,3 +269,30 @@ def test_window_vote_pallas_vjp():
         np.testing.assert_allclose(np.asarray(g), 2 * out, atol=1e-6)
     finally:
         sk.window_vote_fused = orig
+
+
+def test_fused_attention_heads_matches_einsum():
+    """Head-blocked VMEM attention (lane-sliced [B,T,C] layout) ==
+    reference einsum attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sls_tpu.kernels.attention import fused_attention_heads
+
+    B, T, H, Dh = 2, 40, 4, 16
+    C = H * Dh
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 0.5, (B, T, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.5, (B, T, C)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 0.5, (B, T, C)), jnp.float32)
+
+    qh = q.reshape(B, T, H, Dh)
+    kh = k.reshape(B, T, H, Dh)
+    vh = v.reshape(B, T, H, Dh)
+    s = jnp.einsum("bthd,bshd->bhts", qh, kh)
+    p = jax.nn.softmax(s, -1)
+    ref = np.asarray(jnp.einsum("bhts,bshd->bthd", p, vh).reshape(B, T, C))
+
+    got = np.asarray(fused_attention_heads(q, k, v, H, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
