@@ -61,6 +61,15 @@ class XLSRConfig:
     # fused VMEM attention kernel (eval path; falls back to XLA when
     # training so autodiff works)
     fused_attention: bool = False
+    # fused conv front-end tail (kernels/frontend.py): LN+GELU chain and
+    # conv layers 1..L-1 in one Pallas kernel, eval path only; falls
+    # back to the XLA conv path when training / infeasible tiling.
+    # Default OFF: measured SLOWER than XLA on v5e (34.8 vs 19.8 ms at
+    # B=128 — XLA's conv+LN+GELU tail already runs ~65% MFU, near the
+    # ~13 ms bf16 speed-of-light; the phase-GEMM decomposition
+    # underfills the MXU). Kept as a tested experimental path; see
+    # docs/BENCH_NOTES_r2.json negative_results.
+    fused_frontend: bool = False
     # tanh-approx GELU: max-abs error ~3e-3 vs exact erf — below the
     # bf16 pipeline's own round-off (~1.5% at the final features,
     # docs/PARITY_FULL_TOPOLOGY.json) and ~1.7x cheaper on the VPU

@@ -27,6 +27,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sls_tpu.config import XLSRConfig
+from sls_tpu.kernels.frontend import (
+    choose_tile,
+    fp32_layer_norm,
+    frontend_tail_fused,
+    tail_lengths,
+)
 
 
 class Fp32LayerNorm(nn.Module):
@@ -62,6 +68,82 @@ class Fp32GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class _ScaleBias(nn.Module):
+    """Declares norm affine params with nn.LayerNorm/GroupNorm's names,
+    shapes, and init — and returns their VALUES, so the fused Pallas
+    front-end can consume them while checkpoints keep the same layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _NormParams(nn.Module):
+    """Scope shim reproducing ``Fp32LayerNorm(name=...)`` param paths
+    (``norm_i/LayerNorm_0/{scale,bias}``) without computing anything."""
+
+    dim: int
+    inner: str  # "LayerNorm_0" | "GroupNorm_0"
+
+    @nn.compact
+    def __call__(self):
+        return _ScaleBias(self.dim, name=self.inner)()
+
+
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params (same names, shapes, lecun
+    init) and returns their values for the functional conv paths."""
+
+    kernel_size: int
+    in_ch: int
+    out_ch: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_ch, self.out_ch),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _conv1d(h, kernel, bias, stride, dtype):
+    """nn.Conv-equivalent VALID 1-D conv (inputs/params cast to dtype)."""
+    out = jax.lax.conv_general_dilated(
+        h.astype(dtype),
+        kernel.astype(dtype),
+        (stride,),
+        "VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+def _fp32_group_norm_per_channel(x, scale, bias, eps=1e-5):
+    """fairseq Fp32GroupNorm with num_groups == num_channels on [B,T,C]:
+    per-(batch, channel) instance norm over time, fast-variance form."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
+
+
 class ConvFeatureExtractor(nn.Module):
     """7-layer strided 1-D conv waveform front-end.
 
@@ -70,12 +152,18 @@ class ConvFeatureExtractor(nn.Module):
     Norm mode: 'layer_norm' (XLS-R) normalizes after every conv; 'default'
     group-norms only the first layer.
 
-    Stays on ``lax.conv``: with correct (pipelined-dispatch) timing on
-    v5e the conv stack is ~25-30 ms at B=128 and phase-GEMM
-    reformulations measured SLOWER (L0 4.7 -> 7.4 ms, L1 9.3 -> 22.8 ms;
-    the [B,2T,C]->[B,T,2C] reshape and strided tail slice are real HBM
-    relayouts on TPU's tiled layout).  r1's im2col attempt lost for the
-    same reason (docs/BENCH_NOTES_r1.json negative_results).
+    Two compute paths over ONE param layout:
+    - XLA path (training + fallback): per-layer ``lax.conv`` + fp32
+      norm + GELU.  Layer 0 stays on lax.conv in both paths — phase-GEMM
+      reformulations measured SLOWER there (L0 4.7 -> 7.4 ms; the
+      [B,2T,C]->[B,T,2C] reshape is a real HBM relayout,
+      docs/BENCH_NOTES_r1.json / _r2 negative_results).
+    - fused Pallas path (``config.fused_frontend``, eval only): layers
+      1..L-1 plus every LN+GELU run in VMEM via
+      kernels/frontend.frontend_tail_fused, skipping the inter-layer
+      HBM round-trips.  Measured SLOWER than XLA on v5e (34.8 vs
+      19.8 ms at B=128) — kept off by default; see
+      docs/BENCH_NOTES_r2.json negative_results.
     """
 
     config: XLSRConfig
@@ -83,26 +171,79 @@ class ConvFeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.config
-        h = wav[:, :, None].astype(cfg.dtype)  # [B, samples, 1]
+        kernels, conv_biases, norm_scales, norm_biases = [], [], [], []
+        in_ch = 1
         for i, (dim, kernel, stride) in enumerate(cfg.conv_layers):
-            h = nn.Conv(
-                features=dim,
-                kernel_size=(kernel,),
-                strides=(stride,),
-                padding="VALID",
-                use_bias=cfg.conv_bias,
-                dtype=cfg.dtype,
-                param_dtype=jnp.float32,
-                name=f"conv_{i}",
-            )(h)
+            kern, cbias = _ConvParams(
+                kernel, in_ch, dim, cfg.conv_bias, name=f"conv_{i}"
+            )()
+            kernels.append(kern)
+            conv_biases.append(cbias)
             if cfg.extractor_mode == "layer_norm":
-                h = Fp32LayerNorm(name=f"norm_{i}")(h)
+                sc, bi = _NormParams(dim, "LayerNorm_0", name=f"norm_{i}")()
             elif cfg.extractor_mode == "default" and i == 0:
-                h = Fp32GroupNorm(num_groups=dim, name=f"norm_{i}")(h)
+                sc, bi = _NormParams(dim, "GroupNorm_0", name=f"norm_{i}")()
+            else:
+                sc = bi = None
+            norm_scales.append(sc)
+            norm_biases.append(bi)
+            in_ch = dim
+
+        h = wav[:, :, None].astype(cfg.dtype)  # [B, samples, 1]
+        if self._fused_ok(train, wav.shape[1]):
+            dims = [d for d, _, _ in cfg.conv_layers]
+            specs = tuple((k, s) for _, k, s in cfg.conv_layers[1:])
+            h = _conv1d(
+                h, kernels[0], conv_biases[0], cfg.conv_layers[0][2], cfg.dtype
+            )
+            bias_stack = (
+                jnp.stack(conv_biases[1:])
+                if cfg.conv_bias
+                else jnp.zeros((len(specs), dims[0]), jnp.float32)
+            )
+            return frontend_tail_fused(
+                h,
+                tuple(kernels[1:]),
+                bias_stack,
+                jnp.stack(norm_scales),
+                jnp.stack(norm_biases),
+                specs=specs,
+                approx_gelu=cfg.use_approx_gelu,
+                out_dtype=cfg.dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        for i, (dim, kernel, stride) in enumerate(cfg.conv_layers):
+            h = _conv1d(h, kernels[i], conv_biases[i], stride, cfg.dtype)
+            if cfg.extractor_mode == "layer_norm":
+                y = fp32_layer_norm(
+                    h.astype(jnp.float32), norm_scales[i], norm_biases[i], 1e-5
+                )
+                h = y.astype(cfg.dtype)
+            elif cfg.extractor_mode == "default" and i == 0:
+                h = _fp32_group_norm_per_channel(h, norm_scales[i], norm_biases[i])
             h = jax.nn.gelu(
                 h.astype(jnp.float32), approximate=cfg.use_approx_gelu
             ).astype(cfg.dtype)
         return h
+
+    def _fused_ok(self, train: bool, num_samples: int) -> bool:
+        cfg = self.config
+        if not cfg.fused_frontend or train or cfg.extractor_mode != "layer_norm":
+            return False
+        dims = [d for d, _, _ in cfg.conv_layers]
+        if len(set(dims)) != 1 or len(cfg.conv_layers) < 2:
+            return False
+        specs = tuple((k, s) for _, k, s in cfg.conv_layers[1:])
+        d0, k0, s0 = cfg.conv_layers[0]
+        n0 = (num_samples - k0) // s0 + 1
+        t_out = tail_lengths(n0, specs)[-1]
+        return (
+            choose_tile(
+                t_out, n0, specs, d0, itemsize=jnp.dtype(cfg.dtype).itemsize
+            )
+            is not None
+        )
 
 
 class PositionalConv(nn.Module):
