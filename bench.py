@@ -37,7 +37,10 @@ BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=128)
+    # batch 112 measured fastest on v5e (735 vs 644 utts/s at 128; swept
+    # 64..256, docs/BENCH_NOTES_r2.json batch_sweep) — B*T = 112*202
+    # rows tile the 24-layer transformer's GEMMs better than 128*202
+    parser.add_argument("--batch", type=int, default=112)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",

@@ -65,10 +65,15 @@ def save_checkpoint(
 
 
 def _meta_to_arrays(meta: Dict[str, Any]) -> Dict[str, Any]:
-    """Meta dict -> msgpack-friendly form (scalars + json strings)."""
+    """Meta dict -> msgpack-friendly form (scalars + json strings).
+
+    Metric values may arrive as numpy scalars (e.g. from cross-host
+    reductions); coerce to plain floats so json accepts them.
+    """
+    metrics = {k: float(v) for k, v in meta["metrics"].items()}
     return {
         "epoch": np.asarray(meta["epoch"], np.int64),
-        "metrics_json": json.dumps(meta["metrics"]),
+        "metrics_json": json.dumps(metrics),
         "config_json": meta["config_json"],
     }
 

@@ -249,6 +249,13 @@ def run_eval(args, cfg, trainer):
         index = DatasetIndex.for_in_the_wild(ids, db / "release_in_the_wild")
         default_out = "scores/scores_Wild.txt"
 
+    import jax
+
+    if jax.process_count() > 1:
+        # each host scores its own shard on its local mesh; part files
+        # are merged by the primary in BaseTrainer.produce_scores
+        index = index.host_shard(jax.process_index(), jax.process_count())
+
     out = args.eval_output or default_out
     if args.full_utterance:
         from sls_tpu.data.audio import load_audio
@@ -298,6 +305,18 @@ def run_train(args, cfg, trainer):
     dev_index = DatasetIndex.for_train(
         ids_dev, labels_dev, db / "ASVspoof2019_LA_dev", ext=args.audio_ext
     )
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-host: each host reads its own slice; equal-length train
+        # shards keep the global-mesh train steps in lockstep, dev
+        # shards cover-all since validation runs on the local mesh
+        train_index = train_index.host_shard(
+            jax.process_index(), jax.process_count(), drop_remainder=True
+        )
+        dev_index = dev_index.host_shard(
+            jax.process_index(), jax.process_count()
+        )
     limit = 5 if args.quick_test else None
     train_loader = BatchLoader(train_index, args.batch_size, shuffle=True,
                                cut=cfg.train.cut_length, seed=args.seed,
@@ -312,6 +331,13 @@ def main(argv=None) -> int:
     if args.resume and args.fresh_start:
         print("ERROR: --resume and --fresh_start are mutually exclusive")
         return 2
+
+    # multi-host wiring: no-op single-process; on pods/SLURM (or with
+    # SLS_TPU_COORDINATOR set) connects the JAX distributed runtime
+    # BEFORE any backend use (parallel/distributed.py)
+    from sls_tpu.parallel import distributed as dist
+
+    dist.initialize()
 
     cfg = config_from_args(args)
     run_dir = Path(args.model_dir) / cfg.model_tag()

@@ -77,12 +77,26 @@ class DatasetIndex:
             utt_ids=list(utt_ids), paths=[base / u for u in utt_ids]
         )
 
-    def host_shard(self, process_index: int, process_count: int) -> "DatasetIndex":
+    def host_shard(
+        self,
+        process_index: int,
+        process_count: int,
+        drop_remainder: bool = False,
+    ) -> "DatasetIndex":
         """Per-host slice for multi-host SPMD: host i reads examples
         i, i+N, i+2N, ... (the cross-host input pipeline that replaces
         DataLoader workers; SURVEY.md §5.8).  Strided so class balance
-        is preserved per host."""
+        is preserved per host.
+
+        ``drop_remainder=True`` truncates every shard to the same length
+        (floor(N / process_count)) — required for TRAIN loaders, whose
+        jitted steps run over the global mesh and therefore need every
+        host to execute the same number of batches per epoch.  Eval /
+        scoring shards keep the default cover-all semantics (each host
+        scores independently on its local mesh)."""
         sel = list(range(process_index, len(self.utt_ids), process_count))
+        if drop_remainder:
+            sel = sel[: len(self.utt_ids) // process_count]
         return DatasetIndex(
             utt_ids=[self.utt_ids[i] for i in sel],
             paths=[self.paths[i] for i in sel],

@@ -187,7 +187,7 @@ class SLSTrainer(BaseTrainer):
     def _build_model_and_steps(self) -> None:
         self.model = SLSDetector(self.cfg.model)
         self.train_step = make_sls_train_step(self.model, self.cfg, self.mesh)
-        self.eval_step = make_sls_eval_step(self.model, self.mesh)
+        self.eval_step = make_sls_eval_step(self.model, self.eval_mesh)
 
     def _create_state(self, sample_wav: jnp.ndarray) -> SLSTrainState:
         return create_sls_train_state(self.model, self.cfg, self.rng, sample_wav)
@@ -211,7 +211,10 @@ class SLSTrainer(BaseTrainer):
         )
 
     def _run_eval(self, wav):
-        return self.eval_step(self.state.params, self.state.batch_stats, wav)
+        params, batch_stats = self._to_eval_mesh(
+            (self.state.params, self.state.batch_stats)
+        )
+        return self.eval_step(params, batch_stats, wav)
 
     def _resume_from_torch(self, path) -> bool:
         """Weights-only restore from an upstream SLS PyTorch checkpoint

@@ -57,9 +57,27 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Place a pytree fully replicated over the mesh.
+
+    Multi-host (mesh spans devices of other processes): every process
+    must hold the same host values (same-seed init / same checkpoint);
+    placement goes through ``make_array_from_callback`` since
+    ``device_put`` cannot target non-addressable devices.
+    """
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    local_only = jax.process_count() == 1 or all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    )
+    if local_only:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def place(x):
+        host = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    return jax.tree.map(place, tree)
 
 
 def pad_batch_to_devices(mesh: Mesh, wav, labels=None, valid=None, axis="data"):

@@ -32,6 +32,14 @@ from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
 from sls_tpu.config import ExperimentConfig, config_to_json
 from sls_tpu.metrics.eer import roc_eer
 from sls_tpu.models.detector import Detector
+from sls_tpu.parallel import distributed as dist
+from sls_tpu.parallel.distributed import (
+    allgather_ragged_rows,
+    allgather_rows,
+    allreduce_sum_scalars,
+    fetch_global,
+    global_batch,
+)
 from sls_tpu.parallel.mesh import (
     make_mesh,
     pad_batch_to_devices,
@@ -121,12 +129,28 @@ class BaseTrainer:
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.mesh = mesh if mesh is not None else make_mesh()
+        # Multi-host: eval/scoring is embarrassingly parallel, so each
+        # host runs it on a mesh of its OWN chips over its own data
+        # shard — no lockstep constraint on per-host eval batch counts
+        # (training keeps the global mesh; see parallel/distributed.py).
+        self.eval_mesh = (
+            self.mesh
+            if jax.process_count() == 1
+            else make_mesh(jax.local_devices())
+        )
+        # exactly one process writes checkpoints / CSV / TensorBoard
+        self.io_primary = dist.is_primary()
+        self._eval_params_cache = None  # (step, local-mesh params)
         self._build_model_and_steps()
 
         self.ckpt = CheckpointManager(self.run_dir, config_to_json(cfg))
-        self.csv = CSVLogger(self.run_dir / "training_log.csv")
+        self.csv = (
+            CSVLogger(self.run_dir / "training_log.csv")
+            if self.io_primary
+            else None
+        )
         self.tb = None
-        if tensorboard:
+        if tensorboard and self.io_primary:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -162,6 +186,30 @@ class BaseTrainer:
         raise ValueError(
             f"no PyTorch checkpoint migration for {type(self).__name__}"
         )
+
+    def _to_eval_mesh(self, tree):
+        """Move a (params, ...) tuple onto the host-local eval mesh.
+
+        Identity single-process.  Multi-host: params live replicated on
+        the global mesh; evaluation runs on this host's local mesh, so
+        fetch them once per optimizer step (cached) and re-place them
+        locally — a host-local copy, no cross-host traffic.
+        """
+        if self.eval_mesh is self.mesh:
+            return tree
+        step = (
+            int(jax.device_get(self.state.step))
+            if hasattr(self.state, "step")
+            else -1
+        )
+        if (
+            self._eval_params_cache is not None
+            and self._eval_params_cache[0] == step
+        ):
+            return self._eval_params_cache[1]
+        local = replicate(jax.device_get(tree), self.eval_mesh)
+        self._eval_params_cache = (step, local)
+        return local
 
     # -- state management ----------------------------------------------------
 
@@ -222,11 +270,17 @@ class BaseTrainer:
             )
             wav = jnp.asarray(wav_np)
             if aug_cfg.algo in range(1, 9):
+                # key folds in process_index so hosts draw decorrelated
+                # augmentations for their disjoint data shards
                 aug_key = jax.random.fold_in(
-                    jax.random.fold_in(self.rng, epoch), b_idx
+                    jax.random.fold_in(
+                        jax.random.fold_in(self.rng, jax.process_index()),
+                        epoch,
+                    ),
+                    b_idx,
                 )
                 wav = rawboost_batch(aug_key, wav, aug_cfg)
-            wav, labels, valid_dev = shard_batch(
+            wav, labels, valid_dev = global_batch(
                 (wav, jnp.asarray(labels_np), jnp.asarray(valid)), self.mesh
             )
             self.state, metrics = self.train_step(
@@ -240,16 +294,21 @@ class BaseTrainer:
                 print(f"WARNING: non-finite loss at batch {b_idx} "
                       f"(epoch {epoch}); update rejected", flush=True)
                 continue
-            bsz = int(valid.sum())
+            # global views: loss/correct come out of the jitted step
+            # already reduced over the global batch; scores are
+            # data-sharded and labels/valid are per-host rows, so both
+            # are gathered into the same process-ordered global layout
+            valid_g = allgather_rows(valid)
+            bsz = int(valid_g.sum())
             n_seen += bsz
             sums["loss"] += float(metrics["loss"]) * bsz
             sums["cls"] += float(metrics.get("cls_loss", 0.0)) * bsz
             sums["sae"] += float(metrics.get("sae_loss", 0.0)) * bsz
             sums["cpc"] += float(metrics.get("cpc_loss", 0.0)) * bsz
             sums["correct"] += float(metrics["correct"])
-            s = np.asarray(metrics["scores"])[valid]
+            s = fetch_global(metrics["scores"])[valid_g]
             scores_all.append(s)
-            labels_all.append(labels_np[valid])
+            labels_all.append(allgather_rows(labels_np)[valid_g])
             if profiling and b_idx >= self.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -278,9 +337,9 @@ class BaseTrainer:
         labels_all: List[np.ndarray] = []
         for batch in loader.epoch(0):
             wav_np, labels_np, valid = pad_batch_to_devices(
-                self.mesh, batch.wav, batch.labels, batch.valid
+                self.eval_mesh, batch.wav, batch.labels, batch.valid
             )
-            wav = shard_batch(jnp.asarray(wav_np), self.mesh)
+            wav = shard_batch(jnp.asarray(wav_np), self.eval_mesh)
             out = self._run_eval(wav)
             logp = np.asarray(out["log_probs"])
             s = np.asarray(out["score"])
@@ -299,11 +358,27 @@ class BaseTrainer:
             scores_all.append(s[v])
             labels_all.append(batch_labels[v])
 
-        n = max(n_seen, 1)
+        # cross-host reduction: each host validated its own data shard
+        # on its local mesh (hosts may run different batch counts), so
+        # sums and score vectors are combined here, once per epoch
+        loss_sum, sae_sum, correct, n_seen = allreduce_sum_scalars(
+            [loss_sum, sae_sum, correct, float(n_seen)]
+        )
+        scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
+        labels_cat = (
+            np.concatenate(labels_all) if labels_all else np.zeros(0, np.int32)
+        )
+        scores_g = allgather_ragged_rows(scores_cat.astype(np.float32))
+        labels_g = allgather_ragged_rows(labels_cat.astype(np.int32))
+        n = max(float(n_seen), 1.0)
         return EpochMetrics(
-            loss=loss_sum / n, sae_loss=sae_sum / n,
-            acc=100.0 * correct / n,
-            eer=_epoch_eer(scores_all, labels_all),
+            loss=float(loss_sum) / n, sae_loss=float(sae_sum) / n,
+            acc=100.0 * float(correct) / n,
+            eer=(
+                50.0
+                if scores_g.size == 0
+                else float(roc_eer(scores_g, labels_g))
+            ),
         )
 
     def fit(self, train_loader, val_loader, num_epochs: Optional[int] = None):
@@ -330,7 +405,8 @@ class BaseTrainer:
                 "val_sae_loss": f"{va.sae_loss:.6f}",
                 "epoch_seconds": f"{dt:.1f}",
             }
-            self.csv.log(row)
+            if self.csv is not None:
+                self.csv.log(row)
             if self.tb is not None:
                 for key, value in [
                     ("train/loss", tr.loss), ("train/eer", tr.eer),
@@ -340,17 +416,21 @@ class BaseTrainer:
                 ]:
                     self.tb.add_scalar(key, value, epoch)
 
-            improved = self.ckpt.save_epoch(
-                self._state_tree(), epoch,
-                {"val_eer": va.eer, "val_loss": va.loss, "val_acc": va.acc},
-            )
-            marker = " *best*" if improved else ""
-            print(
-                f"{self.log_prefix}epoch {epoch}: train_loss={tr.loss:.4f} "
-                f"train_eer={tr.eer:.2f}% val_eer={va.eer:.2f}%"
-                f" ({dt:.1f}s){marker}",
-                flush=True,
-            )
+            if self.io_primary:
+                improved = self.ckpt.save_epoch(
+                    self._state_tree(), epoch,
+                    {"val_eer": va.eer, "val_loss": va.loss, "val_acc": va.acc},
+                )
+                marker = " *best*" if improved else ""
+                print(
+                    f"{self.log_prefix}epoch {epoch}: train_loss={tr.loss:.4f} "
+                    f"train_eer={tr.eer:.2f}% val_eer={va.eer:.2f}%"
+                    f" ({dt:.1f}s){marker}",
+                    flush=True,
+                )
+            # non-primary hosts wait for the checkpoint write so a
+            # subsequent resume sees consistent files on shared storage
+            dist.sync_hosts("epoch-ckpt")
 
     # -- scoring ----------------------------------------------------------------
 
@@ -360,8 +440,17 @@ class BaseTrainer:
         from sls_tpu.scores.writer import ScoreWriter
 
         assert self.state is not None
+        # Multi-host: each host scores its own shard of the eval index
+        # (see DatasetIndex.host_shard) on its local mesh and writes a
+        # part file; the primary concatenates them at the end.
+        multihost = jax.process_count() > 1
+        part_path = (
+            Path(f"{out_path}.part{jax.process_index()}")
+            if multihost
+            else Path(out_path)
+        )
         n = 0
-        with ScoreWriter(out_path) as writer:
+        with ScoreWriter(part_path) as writer:
             pending = None  # one batch in flight: host decode, device
             # compute, and score writing overlap via async dispatch
 
@@ -382,9 +471,9 @@ class BaseTrainer:
 
             for batch in loader.epoch(0):
                 wav_np, _, valid = pad_batch_to_devices(
-                    self.mesh, batch.wav, None, batch.valid
+                    self.eval_mesh, batch.wav, None, batch.valid
                 )
-                wav = shard_batch(jnp.asarray(wav_np), self.mesh)
+                wav = shard_batch(jnp.asarray(wav_np), self.eval_mesh)
                 out = self._run_eval(wav)  # async
                 if pending is not None:
                     flush(pending)
@@ -392,6 +481,16 @@ class BaseTrainer:
                 pending = (utt_ids, valid, out)
             if pending is not None:
                 flush(pending)
+        if multihost:
+            n = int(allreduce_sum_scalars([float(n)])[0])
+            dist.sync_hosts("scores-written")
+            if self.io_primary:
+                with open(out_path, "w") as fout:
+                    for i in range(jax.process_count()):
+                        part = Path(f"{out_path}.part{i}")
+                        fout.write(part.read_text())
+                        part.unlink()
+            dist.sync_hosts("scores-merged")
         return n
 
 
@@ -402,7 +501,7 @@ class Trainer(BaseTrainer):
     def _build_model_and_steps(self) -> None:
         self.model = Detector(self.cfg.model)
         self.train_step = make_train_step(self.model, self.cfg, self.mesh)
-        self.eval_step = make_eval_step(self.model, self.cfg, self.mesh)
+        self.eval_step = make_eval_step(self.model, self.cfg, self.eval_mesh)
 
     def _create_state(self, sample_wav: jnp.ndarray) -> TrainState:
         return create_train_state(self.model, self.cfg, self.rng, sample_wav)
@@ -422,7 +521,8 @@ class Trainer(BaseTrainer):
         )
 
     def _run_eval(self, wav):
-        return self.eval_step(self.state.params, wav)
+        (params,) = self._to_eval_mesh((self.state.params,))
+        return self.eval_step(params, wav)
 
     def _resume_from_torch(self, path) -> bool:
         """Weights-only restore from a reference PyTorch checkpoint."""
