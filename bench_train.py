@@ -1,0 +1,95 @@
+"""Training-throughput benchmark: utts/sec/chip for the full fine-tune step.
+
+Companion to bench.py (eval) — measures the jitted SPMD train step
+(forward + backward + Adam update + WCE/SAE losses) on the flagship
+XLS-R-300M + TopK-SAE detector with synthetic batches, steady state.
+Steps chain through the donated train state, so timing N dispatches and
+fetching only the last loss measures the pipelined device rate (the same
+methodology as bench.py; sync-per-step carries ~29 ms relay overhead).
+
+Prints one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_config(batch: int, remat: bool, iters: int = 8) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sls_tpu.config import (
+        ExperimentConfig, ModelConfig, SAEConfig, TrainConfig, XLSRConfig,
+    )
+    from sls_tpu.train.steps import create_train_state, make_train_step
+    from sls_tpu.models.detector import Detector
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            encoder=XLSRConfig(dtype=jnp.bfloat16, remat=remat),
+            use_sae=True,
+            use_sparse_features=True,
+            sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128),
+        ),
+        train=TrainConfig(batch_size=batch, lr=1e-6),
+    )
+    model = Detector(cfg.model)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(0, 0.1, (batch, 64600)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, batch))
+    valid = jnp.ones((batch,), bool)
+
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, key, wav[:2])
+    step = make_train_step(model, cfg, mesh=None)
+
+    state, metrics = step(state, wav, labels, valid, key)  # compile
+    jax.device_get(metrics["loss"])
+    start = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, wav, labels, valid, key)
+    final = float(jax.device_get(metrics["loss"]))
+    elapsed = time.time() - start
+    assert np.isfinite(final), "non-finite training loss"
+    return batch * iters / elapsed
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", type=int, nargs="+", default=[64])
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--iters", type=int, default=8)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    for batch in args.batches:
+        try:
+            ups = run_config(batch, args.remat, args.iters)
+            print(json.dumps({
+                "metric": "train-utts/sec/chip (XLS-R-300M fine-tune)",
+                "value": round(ups, 2),
+                "unit": "utterances/sec/chip",
+                "batch": batch,
+                "remat": args.remat,
+            }), flush=True)
+        except Exception as exc:  # OOM etc: record and continue
+            print(json.dumps({
+                "batch": batch, "remat": args.remat,
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+            }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
