@@ -120,6 +120,14 @@ def global_batch(tree, mesh, axis: str = "data"):
 
     All hosts must pass the same local row count — use
     ``host_shard(..., drop_remainder=True)`` for training loaders.
+
+    Note: multi-process assembly goes through host memory
+    (``np.asarray``), so passing an already-on-device array (e.g. the
+    RawBoost-augmented batch) costs one device→host fetch per batch.
+    Fine at audio-batch sizes (~30 MB); if it ever shows up in a
+    profile, build the global array with
+    ``jax.make_array_from_single_device_arrays`` from locally-sharded
+    pieces instead.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -89,12 +89,69 @@ def score_2019_protocol(score_file: str, protocol_file: str) -> Dict[str, float]
     }
 
 
+def score_2021_metadata(
+    score_file: str, metadata_file: str, phase: str = "eval"
+) -> Dict[str, float]:
+    """EER/min-DCF of a score file against a 2021 ``trial_metadata.txt``.
+
+    Reference: compute_eer_2021LA.py:70-91 — column 2 is the utt id,
+    column 6 the bonafide/spoof label, column 8 the phase; only rows of
+    the requested phase are scored.  Unlike the reference (which
+    hardcodes a cluster metadata path), the key file is an argument.
+    """
+    utt_ids, scores = read_score_file(score_file)
+    score_map = dict(zip(utt_ids, scores))
+    bona, spoof = [], []
+    n_keys = 0
+    with open(metadata_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 8 and parts[7] == phase:
+                n_keys += 1
+                s = score_map.get(parts[1])
+                if s is None:
+                    continue
+                (bona if parts[5] == "bonafide" else spoof).append(s)
+    if not bona or not spoof:
+        raise ValueError(
+            f"no {'bonafide' if not bona else 'spoof'} trials matched "
+            f"phase={phase!r} in {metadata_file}"
+        )
+    bona_a, spoof_a = np.asarray(bona), np.asarray(spoof)
+    eer, threshold = compute_eer(bona_a, spoof_a)
+    interp_eer, _ = roc_interp_eer(bona_a, spoof_a)
+    return {
+        "n_trials": len(bona) + len(spoof),
+        "n_keys_in_phase": n_keys,
+        "n_bonafide": len(bona),
+        "n_spoof": len(spoof),
+        "eer": eer,
+        "eer_interp": interp_eer,
+        "threshold": threshold,
+        "min_dcf": simplified_min_dcf(bona_a, spoof_a),
+    }
+
+
 def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(description="2019-protocol EER scorer")
+    parser = argparse.ArgumentParser(
+        description="standalone EER scorer: 2019 protocol or 2021 "
+        "trial-metadata key file"
+    )
     parser.add_argument("score_file")
-    parser.add_argument("protocol_file")
+    parser.add_argument("protocol_file", nargs="?",
+                        help="2019-style 5-column protocol")
+    parser.add_argument("--metadata",
+                        help="2021 trial_metadata.txt key file "
+                        "(reference: compute_eer_2021LA.py)")
+    parser.add_argument("--phase", default="eval",
+                        choices=["progress", "eval", "hidden_track"])
     args = parser.parse_args(argv)
-    res = score_2019_protocol(args.score_file, args.protocol_file)
+    if bool(args.protocol_file) == bool(args.metadata):
+        parser.error("give exactly one of: protocol_file, --metadata")
+    if args.metadata:
+        res = score_2021_metadata(args.score_file, args.metadata, args.phase)
+    else:
+        res = score_2019_protocol(args.score_file, args.protocol_file)
     print(f"Total trials: {res['n_trials']}")
     print(f"Bonafide trials: {res['n_bonafide']}")
     print(f"Spoof trials: {res['n_spoof']}")

@@ -137,3 +137,36 @@ class TestStandaloneScorer:
         assert res["eer"] == 0.0
         assert standalone_main([str(score_file), str(proto)]) == 0
         assert "EER: 0.0000%" in capsys.readouterr().out
+
+    def test_score_2021_metadata(self, tmp_path, capsys):
+        """2021 trial_metadata standalone mode
+        (reference: compute_eer_2021LA.py:70-91)."""
+        from sls_tpu.scores.standalone import score_2021_metadata
+
+        utts = [f"LA_E_{i:04d}" for i in range(40)]
+        labels = ["bonafide" if i % 2 == 0 else "spoof" for i in range(40)]
+        meta = tmp_path / "trial_metadata.txt"
+        rows = [
+            f"spk {u} c d e {l} f {'eval' if i < 30 else 'progress'}"
+            for i, (u, l) in enumerate(zip(utts, labels))
+        ]
+        meta.write_text("\n".join(rows) + "\n")
+        rng = np.random.default_rng(2)
+        score_file = tmp_path / "scores21.txt"
+        with ScoreWriter(score_file) as w:
+            w.write_batch(
+                utts,
+                [(3 if l == "bonafide" else -3) + rng.normal(0, 0.1)
+                 for l in labels],
+            )
+        res = score_2021_metadata(str(score_file), str(meta))
+        assert res["n_trials"] == 30  # phase filter drops the last 10
+        assert res["n_bonafide"] == 15
+        assert res["eer"] == 0.0
+        assert standalone_main(
+            [str(score_file), "--metadata", str(meta), "--phase", "eval"]
+        ) == 0
+        assert "EER: 0.0000%" in capsys.readouterr().out
+        # exactly one of protocol / metadata must be given
+        with pytest.raises(SystemExit):
+            standalone_main([str(score_file)])
