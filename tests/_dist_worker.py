@@ -48,8 +48,12 @@ def main() -> int:
     wav_va, y_va = synthetic_batch(rng, 24)
     wav_tr, y_tr = np.asarray(wav_tr), np.asarray(y_tr)
     wav_va, y_va = np.asarray(wav_va), np.asarray(y_va)
-    tr_sel = np.arange(48)[pid::2]
-    va_sel = np.arange(24)[pid::2]
+    tr_sel = np.arange(48)[pid::2]  # train shards MUST be equal-length
+    # val/score shards are deliberately UNEVEN (14/10 and 17/7): eval
+    # runs per-host on the local mesh, so hosts may execute different
+    # batch counts; cross-host metric reduction uses the ragged gather
+    va_sel = np.arange(24)[:14] if pid == 0 else np.arange(24)[14:]
+    sc_sel = np.arange(24)[:17] if pid == 0 else np.arange(24)[17:]
 
     cfg = ExperimentConfig(
         model=tiny_model_config(),
@@ -72,8 +76,8 @@ def main() -> int:
     va = trainer.validate(val_loader)
 
     score_loader = ArrayLoader(
-        wav_va[va_sel], None,
-        utt_ids=[f"utt_{i}" for i in va_sel], batch_size=8,
+        wav_va[sc_sel], None,
+        utt_ids=[f"utt_{i}" for i in sc_sel], batch_size=8,
     )
     n_scored = trainer.produce_scores(score_loader, f"{run_dir}/scores.txt")
 
