@@ -260,6 +260,7 @@ def run_eval(args, cfg, trainer):
     if args.full_utterance:
         from sls_tpu.data.audio import load_audio
         from sls_tpu.evaluation.overlap import score_utterances_streamed
+        from sls_tpu.parallel import distributed as dist
         from sls_tpu.scores.writer import ScoreWriter
 
         def audio_iter():
@@ -272,15 +273,21 @@ def run_eval(args, cfg, trainer):
                     cfg.train.cut_length, np.float32
                 )
 
+        # multi-host: local-mesh params (hosts stream different
+        # utterance counts, so no global-mesh lockstep programs) and a
+        # per-host part file merged by the primary
+        (params,) = trainer._to_eval_mesh((trainer.state.params,))
         n = 0
-        with ScoreWriter(out) as writer:
+        with ScoreWriter(dist.part_path(out)) as writer:
             for utt, score in score_utterances_streamed(
-                trainer.model, trainer.state.params, audio_iter(),
+                trainer.model, params, audio_iter(),
                 window=cfg.train.cut_length,
                 batch_size=args.batch_size,
             ):
                 writer.write_batch([utt], [score])
                 n += 1
+        dist.merge_part_files(out)
+        n = int(dist.allreduce_sum_scalars([float(n)])[0])
     else:
         loader = BatchLoader(
             index, batch_size=args.batch_size, shuffle=False,

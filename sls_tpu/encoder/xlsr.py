@@ -49,25 +49,6 @@ class Fp32LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
-class Fp32GroupNorm(nn.Module):
-    """Per-channel (instance) norm in fp32 — fairseq's Fp32GroupNorm with
-    num_groups == num_channels, used by the 'default' extractor mode."""
-
-    num_groups: int
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
-
-
 class _ScaleBias(nn.Module):
     """Declares norm affine params with nn.LayerNorm/GroupNorm's names,
     shapes, and init — and returns their VALUES, so the fused Pallas

@@ -158,6 +158,29 @@ def fetch_global(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def local_rows(x) -> np.ndarray:
+    """This process's contiguous row block of a batch-sharded array.
+
+    The inverse access pattern to ``global_batch``: fetches only the
+    rows owned by this host's devices — no cross-host traffic.
+    Identity single-process.  Handles fully-replicated arrays (XLA may
+    replicate small outputs) by slicing the process-order block.
+    """
+    if jax.process_count() == 1 or isinstance(x, np.ndarray):
+        return np.asarray(x)
+    if getattr(x, "is_fully_replicated", False):
+        n_local = x.shape[0] // jax.process_count()
+        lo = jax.process_index() * n_local
+        return np.asarray(x)[lo : lo + n_local]
+    shards = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        shards[start] = s
+    return np.concatenate(
+        [np.asarray(shards[k].data) for k in sorted(shards)], axis=0
+    )
+
+
 def allgather_rows(x) -> np.ndarray:
     """Concatenate per-process host arrays into the global row order.
 
@@ -197,6 +220,34 @@ def allreduce_sum_scalars(values: Sequence[float]) -> np.ndarray:
     if jax.process_count() == 1:
         return v
     return allgather_rows(v[None, :]).sum(axis=0)
+
+
+def merge_part_files(out_path) -> None:
+    """Merge per-host ``<out>.part<i>`` files into ``out_path``.
+
+    Call on EVERY host after each wrote its part (barrier inside); the
+    primary concatenates in process order and removes the parts.
+    No-op single-process (callers write ``out_path`` directly then).
+    """
+    if jax.process_count() == 1:
+        return
+    sync_hosts("parts-written")
+    if is_primary():
+        with open(out_path, "w") as fout:
+            for i in range(jax.process_count()):
+                part = f"{out_path}.part{i}"
+                with open(part) as fin:
+                    fout.write(fin.read())
+                os.unlink(part)
+    sync_hosts("parts-merged")
+
+
+def part_path(out_path) -> str:
+    """Per-host output path: ``<out>.part<i>`` multi-process, ``out``
+    single-process."""
+    if jax.process_count() == 1:
+        return str(out_path)
+    return f"{out_path}.part{jax.process_index()}"
 
 
 def sync_hosts(name: str = "sync") -> None:

@@ -117,6 +117,17 @@ def score_2021_metadata(
             f"no {'bonafide' if not bona else 'spoof'} trials matched "
             f"phase={phase!r} in {metadata_file}"
         )
+    n_matched = len(bona) + len(spoof)
+    if n_matched < n_keys:
+        # a truncated score file (killed eval job) silently shrinking
+        # the trial set would yield a quietly-wrong headline EER
+        import sys
+
+        print(
+            f"WARNING: only {n_matched}/{n_keys} phase={phase!r} trials "
+            f"have scores — EER below is computed on a PARTIAL trial set",
+            file=sys.stderr,
+        )
     bona_a, spoof_a = np.asarray(bona), np.asarray(spoof)
     eer, threshold = compute_eer(bona_a, spoof_a)
     interp_eer, _ = roc_interp_eer(bona_a, spoof_a)

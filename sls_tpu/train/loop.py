@@ -35,10 +35,9 @@ from sls_tpu.models.detector import Detector
 from sls_tpu.parallel import distributed as dist
 from sls_tpu.parallel.distributed import (
     allgather_ragged_rows,
-    allgather_rows,
     allreduce_sum_scalars,
-    fetch_global,
     global_batch,
+    local_rows,
 )
 from sls_tpu.parallel.mesh import (
     make_mesh,
@@ -94,14 +93,6 @@ class EpochMetrics:
     cpc_loss: float = 0.0
     acc: float = 0.0
     eer: float = 50.0
-
-
-def _epoch_eer(scores_all: List[np.ndarray], labels_all: List[np.ndarray]) -> float:
-    """EER over an epoch's accumulated scores; 50% on an empty epoch
-    (every batch rejected by the non-finite guard, or an empty loader)."""
-    if not scores_all:
-        return 50.0
-    return roc_eer(np.concatenate(scores_all), np.concatenate(labels_all))
 
 
 class BaseTrainer:
@@ -197,18 +188,23 @@ class BaseTrainer:
         """
         if self.eval_mesh is self.mesh:
             return tree
+        # cache key: optimizer step AND the params object identity —
+        # resume()/migration replace params without advancing step, and
+        # a stale cache would silently score with the old weights
         step = (
             int(jax.device_get(self.state.step))
             if hasattr(self.state, "step")
             else -1
         )
-        if (
-            self._eval_params_cache is not None
-            and self._eval_params_cache[0] == step
-        ):
-            return self._eval_params_cache[1]
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        if self._eval_params_cache is not None:
+            c_step, c_leaf, c_local = self._eval_params_cache
+            # the cached source leaf is held strongly, so an `is` match
+            # really is the same array (ids are never recycled here)
+            if c_step == step and c_leaf is leaf:
+                return c_local
         local = replicate(jax.device_get(tree), self.eval_mesh)
-        self._eval_params_cache = (step, local)
+        self._eval_params_cache = (step, leaf, local)
         return local
 
     # -- state management ----------------------------------------------------
@@ -294,21 +290,24 @@ class BaseTrainer:
                 print(f"WARNING: non-finite loss at batch {b_idx} "
                       f"(epoch {epoch}); update rejected", flush=True)
                 continue
-            # global views: loss/correct come out of the jitted step
-            # already reduced over the global batch; scores are
-            # data-sharded and labels/valid are per-host rows, so both
-            # are gathered into the same process-ordered global layout
-            valid_g = allgather_rows(valid)
-            bsz = int(valid_g.sum())
+            # Per-batch accumulation touches only LOCAL data — scores
+            # come back via local_rows (this host's shard of the
+            # data-sharded output), labels/valid are host arrays, and
+            # the loss scalars are replicated.  The single cross-host
+            # gather happens once at epoch end, so the multi-host train
+            # loop never blocks on a host-level collective per step.
+            bsz = int(valid.sum())
             n_seen += bsz
             sums["loss"] += float(metrics["loss"]) * bsz
             sums["cls"] += float(metrics.get("cls_loss", 0.0)) * bsz
             sums["sae"] += float(metrics.get("sae_loss", 0.0)) * bsz
             sums["cpc"] += float(metrics.get("cpc_loss", 0.0)) * bsz
+            # correct is already the GLOBAL count (psum'd inside jit on
+            # every host) — accumulated as-is, NOT allreduced at the end
             sums["correct"] += float(metrics["correct"])
-            s = fetch_global(metrics["scores"])[valid_g]
+            s = local_rows(metrics["scores"])[valid]
             scores_all.append(s)
-            labels_all.append(allgather_rows(labels_np)[valid_g])
+            labels_all.append(labels_np[valid])
             if profiling and b_idx >= self.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -317,12 +316,33 @@ class BaseTrainer:
         if profiling:
             jax.profiler.stop_trace()
             self._profiled = True
-        n = max(n_seen, 1)
+        # one cross-host reduction per epoch: weighted loss sums plus a
+        # ragged gather of the per-host score/label rows
+        return self._combine_epoch(sums, n_seen, scores_all, labels_all)
+
+    def _combine_epoch(self, sums, n_seen, scores_all, labels_all):
+        loss_s, cls_s, sae_s, cpc_s, n_g = allreduce_sum_scalars(
+            [sums["loss"], sums["cls"], sums["sae"], sums["cpc"],
+             float(n_seen)]
+        )
+        scores_cat = (
+            np.concatenate(scores_all) if scores_all else np.zeros(0)
+        )
+        labels_cat = (
+            np.concatenate(labels_all) if labels_all else np.zeros(0, np.int64)
+        )
+        scores_g = allgather_ragged_rows(scores_cat.astype(np.float32))
+        labels_g = allgather_ragged_rows(labels_cat.astype(np.int32))
+        n = max(float(n_g), 1.0)
         return EpochMetrics(
-            loss=sums["loss"] / n, cls_loss=sums["cls"] / n,
-            sae_loss=sums["sae"] / n, cpc_loss=sums["cpc"] / n,
-            acc=100.0 * sums["correct"] / n,
-            eer=_epoch_eer(scores_all, labels_all),
+            loss=float(loss_s) / n, cls_loss=float(cls_s) / n,
+            sae_loss=float(sae_s) / n, cpc_loss=float(cpc_s) / n,
+            acc=100.0 * float(sums["correct"]) / n,
+            eer=(
+                50.0
+                if scores_g.size == 0
+                else float(roc_eer(scores_g, labels_g))
+            ),
         )
 
     def validate(self, loader) -> EpochMetrics:
@@ -443,14 +463,8 @@ class BaseTrainer:
         # Multi-host: each host scores its own shard of the eval index
         # (see DatasetIndex.host_shard) on its local mesh and writes a
         # part file; the primary concatenates them at the end.
-        multihost = jax.process_count() > 1
-        part_path = (
-            Path(f"{out_path}.part{jax.process_index()}")
-            if multihost
-            else Path(out_path)
-        )
         n = 0
-        with ScoreWriter(part_path) as writer:
+        with ScoreWriter(dist.part_path(out_path)) as writer:
             pending = None  # one batch in flight: host decode, device
             # compute, and score writing overlap via async dispatch
 
@@ -481,17 +495,8 @@ class BaseTrainer:
                 pending = (utt_ids, valid, out)
             if pending is not None:
                 flush(pending)
-        if multihost:
-            n = int(allreduce_sum_scalars([float(n)])[0])
-            dist.sync_hosts("scores-written")
-            if self.io_primary:
-                with open(out_path, "w") as fout:
-                    for i in range(jax.process_count()):
-                        part = Path(f"{out_path}.part{i}")
-                        fout.write(part.read_text())
-                        part.unlink()
-            dist.sync_hosts("scores-merged")
-        return n
+        dist.merge_part_files(out_path)
+        return int(allreduce_sum_scalars([float(n)])[0])
 
 
 class Trainer(BaseTrainer):

@@ -81,6 +81,24 @@ def main() -> int:
     )
     n_scored = trainer.produce_scores(score_loader, f"{run_dir}/scores.txt")
 
+    # eval-params cache must invalidate when params are REPLACED without
+    # a step change (the resume/migration scenario): zeroed params must
+    # change the val loss even though state.step is unchanged
+    from sls_tpu.parallel.mesh import replicate
+
+    zeroed = jax.tree.map(
+        lambda x: np.zeros_like(np.asarray(x)), jax.device_get(
+            trainer.state.params
+        )
+    )
+    trainer.state = trainer.state.replace(
+        params=replicate(zeroed, trainer.mesh)
+    )
+    va_zero = trainer.validate(val_loader)
+    assert abs(float(va_zero.loss) - float(va.loss)) > 1e-6, (
+        "stale eval-params cache: zeroed params gave the same val loss"
+    )
+
     print(json.dumps({
         "pid": pid,
         "val_loss": round(float(va.loss), 6),

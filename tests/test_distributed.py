@@ -56,6 +56,14 @@ def test_fetch_global_on_sharded_array():
     np.testing.assert_array_equal(dist.fetch_global(g), x)
 
 
+def test_local_rows_single_process_identity():
+    mesh = make_mesh()
+    x = np.arange(16, dtype=np.float32).reshape(16, 1)
+    g = dist.global_batch(x, mesh)
+    np.testing.assert_array_equal(dist.local_rows(g), x)
+    np.testing.assert_array_equal(dist.local_rows(x), x)
+
+
 def test_host_shard_drop_remainder():
     idx = DatasetIndex(
         utt_ids=[f"u{i}" for i in range(10)],
