@@ -109,6 +109,7 @@ class CheckpointManager:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.config_json = config_json
         self.best_metric: Optional[float] = None
+        self._writer = None  # in-flight async write thread
         self._load_best_metric()
 
     @property
@@ -134,32 +135,65 @@ class CheckpointManager:
         metrics: Dict[str, float],
         best_key: str = "val_eer",
         lower_is_better: bool = True,
+        block: bool = True,
     ) -> bool:
         """Save ``last``; promote to ``best`` if ``metrics[best_key]``
-        improved.  Returns True when a new best was recorded."""
-        save_checkpoint(
-            self.last_path, state_tree, epoch=epoch, metrics=metrics,
-            config_json=self.config_json,
-        )
+        improved.  Returns True when a new best was recorded.
+
+        ``block=False`` materializes the state on the host synchronously
+        (the NEXT train step donates the device buffers, so the device→
+        host fetch cannot be deferred) but runs serialization + atomic
+        writes on a background thread, keeping the msgpack/fsync cost —
+        doubled on best-epochs — off the training critical path.  At
+        most one write is in flight; call :meth:`wait` (done by
+        Trainer.fit on exit) before reading the files back.
+        """
         value = metrics.get(best_key)
-        if value is None:
-            return False
-        improved = self.best_metric is None or (
-            value < self.best_metric if lower_is_better else value > self.best_metric
+        improved = value is not None and (
+            self.best_metric is None
+            or (value < self.best_metric
+                if lower_is_better else value > self.best_metric)
         )
         if improved:
             self.best_metric = value
+
+        def write(host_tree):
             save_checkpoint(
-                self.best_path, state_tree, epoch=epoch, metrics=metrics,
+                self.last_path, host_tree, epoch=epoch, metrics=metrics,
                 config_json=self.config_json,
             )
+            if improved:
+                save_checkpoint(
+                    self.best_path, host_tree, epoch=epoch, metrics=metrics,
+                    config_json=self.config_json,
+                )
+
+        if block:
+            write(state_tree)
+        else:
+            import threading
+
+            host_tree = _to_host(state_tree)  # sync fetch: see docstring
+            self.wait()
+            self._writer = threading.Thread(
+                target=write, args=(host_tree,), daemon=True,
+                name="ckpt-writer",
+            )
+            self._writer.start()
         return improved
+
+    def wait(self) -> None:
+        """Join any in-flight async checkpoint write."""
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
 
     def resolve_resume(
         self, explicit: Optional[PathLike] = None
     ) -> Optional[Path]:
         """Resume priority: explicit path > last > best
         (reference: main.py:345-377)."""
+        self.wait()  # an async write may still be materializing 'last'
         if explicit:
             p = Path(explicit)
             if p.exists():

@@ -437,9 +437,13 @@ class BaseTrainer:
                     self.tb.add_scalar(key, value, epoch)
 
             if self.io_primary:
+                # async write: the host fetch is synchronous (the next
+                # train step donates the device buffers) but msgpack
+                # serialization + atomic writes overlap the next epoch
                 improved = self.ckpt.save_epoch(
                     self._state_tree(), epoch,
                     {"val_eer": va.eer, "val_loss": va.loss, "val_acc": va.acc},
+                    block=False,
                 )
                 marker = " *best*" if improved else ""
                 print(
@@ -448,9 +452,10 @@ class BaseTrainer:
                     f" ({dt:.1f}s){marker}",
                     flush=True,
                 )
-            # non-primary hosts wait for the checkpoint write so a
-            # subsequent resume sees consistent files on shared storage
+            # non-primary hosts wait for the epoch boundary so hosts
+            # stay in lockstep entering the next epoch
             dist.sync_hosts("epoch-ckpt")
+        self.ckpt.wait()  # join the last async checkpoint write
 
     # -- scoring ----------------------------------------------------------------
 

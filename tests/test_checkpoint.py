@@ -73,6 +73,22 @@ def test_last_best_promotion(tmp_path):
     assert not mgr2.save_epoch(_dummy_state(3), 3, {"val_eer": 9.0})
 
 
+def test_async_save_epoch(tmp_path):
+    """block=False must produce the same files as block=True, one write
+    in flight at a time, and wait()/resolve_resume join it."""
+    mgr = CheckpointManager(tmp_path, config_json="{}")
+    assert mgr.save_epoch(_dummy_state(0), 0, {"val_eer": 10.0}, block=False)
+    # improvement decision is made synchronously even before the join
+    assert mgr.best_metric == 10.0
+    assert mgr.save_epoch(_dummy_state(1), 1, {"val_eer": 7.0}, block=False)
+    assert mgr.resolve_resume() == mgr.last_path  # implies wait()
+    _, meta_last = load_checkpoint(mgr.last_path)
+    assert meta_last["epoch"] == 1
+    _, meta_best = load_checkpoint(mgr.best_path)
+    assert meta_best["epoch"] == 1
+    mgr.wait()  # idempotent
+
+
 def test_resume_chain(tmp_path):
     mgr = CheckpointManager(tmp_path)
     assert mgr.resolve_resume() is None
