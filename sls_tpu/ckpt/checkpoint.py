@@ -198,8 +198,30 @@ class CheckpointManager:
             p = Path(explicit)
             if p.exists():
                 return p
-            raise FileNotFoundError(f"--resume checkpoint not found: {p}")
+            raise FileNotFoundError(
+                f"--resume checkpoint not found: {p}\n"
+                + self.describe_available()
+            )
         for candidate in (self.last_path, self.best_path):
             if candidate.exists():
                 return candidate
         return None
+
+    def describe_available(self) -> str:
+        """Human-readable table of checkpoints in the run dir with their
+        epoch/metrics (reference: main.py:297-335
+        ``list_available_checkpoints``)."""
+        ckpts = sorted(self.run_dir.glob("*.ckpt"))
+        if not ckpts:
+            return f"no checkpoints found in: {self.run_dir}"
+        lines = [f"available checkpoints in {self.run_dir}:"]
+        for p in ckpts:
+            try:
+                _, meta = load_checkpoint(p)
+                parts = [f"epoch {meta['epoch']}"]
+                for k, v in sorted(meta.get("metrics", {}).items()):
+                    parts.append(f"{k}={v:.4g}")
+                lines.append(f"  {p.name}: " + ", ".join(parts))
+            except Exception as e:
+                lines.append(f"  {p.name}: unreadable ({e})")
+        return "\n".join(lines)

@@ -73,6 +73,18 @@ def test_last_best_promotion(tmp_path):
     assert not mgr2.save_epoch(_dummy_state(3), 3, {"val_eer": 9.0})
 
 
+def test_describe_available_and_missing_resume_error(tmp_path):
+    mgr = CheckpointManager(tmp_path, config_json="{}")
+    assert "no checkpoints found" in mgr.describe_available()
+    mgr.save_epoch(_dummy_state(0), 3, {"val_eer": 9.5})
+    desc = mgr.describe_available()
+    assert "last.ckpt" in desc and "epoch 3" in desc and "val_eer=9.5" in desc
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="last.ckpt"):
+        mgr.resolve_resume(tmp_path / "nope.ckpt")
+
+
 def test_async_save_epoch(tmp_path):
     """block=False must produce the same files as block=True, one write
     in flight at a time, and wait()/resolve_resume join it."""
