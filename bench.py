@@ -41,7 +41,9 @@ def main(argv=None) -> int:
     # 64..256, docs/BENCH_NOTES_r2.json batch_sweep) — B*T = 112*202
     # rows tile the 24-layer transformer's GEMMs better than 128*202
     parser.add_argument("--batch", type=int, default=112)
-    parser.add_argument("--iters", type=int, default=8)
+    # 16 x ~154 ms ≈ 2.5 s of steady-state per mode: relay run-to-run
+    # jitter at 8 iters was ~±5%, halved at 16
+    parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         default=True,
