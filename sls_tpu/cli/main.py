@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncate loops to 5 batches")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of N early steps")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree over a ('data','model') "
+                   "mesh: shards the FFN/SAE wide dims (parallel/tensor.py)")
     # checkpointing (reference: main.py:420-423,462-464)
     p.add_argument("--model_dir", type=str, default="models")
     p.add_argument("--model_path", type=str, default=None,
@@ -172,6 +175,7 @@ def config_from_args(args) -> "ExperimentConfig":
         weight_decay=args.weight_decay, sae_weight=args.sae_weight,
         cpc_weight=args.cpc_weight, seed=args.seed, rawboost=rawboost,
         cut_length=1000 if getattr(args, "tiny", False) else 64600,
+        model_parallel=getattr(args, "model_parallel", 1),
     )
     return ExperimentConfig(model=model, train=train, track=args.track,
                             comment=args.comment)

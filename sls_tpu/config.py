@@ -61,6 +61,12 @@ class XLSRConfig:
     # fused VMEM attention kernel (eval path; falls back to XLA when
     # training so autodiff works)
     fused_attention: bool = False
+    # pos_conv as per-tap einsums instead of grouped nn.Conv: required
+    # under tensor-parallel meshes (XLA SPMD mis-scales grouped-conv
+    # weight grads by an unused mesh-axis size, jax 0.9.0 — repro in
+    # tests/test_tensor_parallel.py); auto-enabled by the Trainer when
+    # model_parallel > 1
+    grouped_conv_einsum: bool = False
     # fused conv front-end tail (kernels/frontend.py): LN+GELU chain and
     # conv layers 1..L-1 in one Pallas kernel, eval path only; falls
     # back to the XLA conv path when training / infeasible tiling.
@@ -211,6 +217,11 @@ class TrainConfig:
     cpc_weight: float = 0.5
     seed: int = 1234
     cut_length: int = 64600
+    # tensor-parallel degree: shards the wide dims (FFN 4096, SAE dict)
+    # over a 2-D ('data','model') mesh (parallel/tensor.py).  1 = pure
+    # DP, the fast layout for the 300M flagship; >1 is the scale-out
+    # axis for wider models.  use_pallas SAE must be off when > 1.
+    model_parallel: int = 1
     rawboost: RawBoostConfig = field(default_factory=RawBoostConfig)
 
 

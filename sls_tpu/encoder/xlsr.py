@@ -242,21 +242,55 @@ class PositionalConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         pad = cfg.conv_pos // 2
-        h = nn.Conv(
-            features=cfg.embed_dim,
-            kernel_size=(cfg.conv_pos,),
-            padding=[(pad, pad)],
-            feature_group_count=cfg.conv_pos_groups,
-            use_bias=True,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-        if cfg.conv_pos % 2 == 0:
-            h = h[:, :-1, :]
+        if cfg.grouped_conv_einsum:
+            h = self._einsum_grouped(x)
+        else:
+            h = nn.Conv(
+                features=cfg.embed_dim,
+                kernel_size=(cfg.conv_pos,),
+                padding=[(pad, pad)],
+                feature_group_count=cfg.conv_pos_groups,
+                use_bias=True,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
+            if cfg.conv_pos % 2 == 0:
+                h = h[:, :-1, :]
         return jax.nn.gelu(
             h.astype(jnp.float32), approximate=cfg.use_approx_gelu
         ).astype(cfg.dtype)
+
+    def _einsum_grouped(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Grouped conv as a scan of per-tap block-diagonal einsums.
+
+        Same math and the SAME param layout (``conv/kernel`` shaped
+        [K, C/G, C], ``conv/bias``) as the nn.Conv path — used under
+        tensor-parallel meshes because XLA's SPMD partitioner
+        mis-scales grouped-convolution WEIGHT gradients by the size of
+        an unused mesh axis (jax 0.9.0; minimal repro in
+        tests/test_tensor_parallel.py).  Einsum contractions partition
+        correctly.
+        """
+        cfg = self.config
+        K, G, C = cfg.conv_pos, cfg.conv_pos_groups, cfg.embed_dim
+        cg = C // G
+        kernel, bias = _ConvParams(K, cg, C, True, name="conv")()
+        B, T = x.shape[0], x.shape[1]
+        xp = jnp.pad(
+            x.astype(cfg.dtype), ((0, 0), (K // 2, K - 1 - K // 2), (0, 0))
+        )
+        wg = kernel.reshape(K, cg, G, cg).astype(cfg.dtype)
+
+        def body(acc, wk_k):
+            wk, k = wk_k
+            xs = jax.lax.dynamic_slice_in_dim(xp, k, T, axis=1)
+            xs = xs.reshape(B, T, G, cg)
+            return acc + jnp.einsum("btgc,cgo->btgo", xs, wk), None
+
+        acc0 = jnp.zeros((B, T, G, cg), cfg.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (wg, jnp.arange(K)))
+        return acc.reshape(B, T, C) + bias.astype(cfg.dtype)
 
 
 class SelfAttention(nn.Module):

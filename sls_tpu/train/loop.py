@@ -119,7 +119,54 @@ class BaseTrainer:
         self.cfg = cfg
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        mp = getattr(cfg.train, "model_parallel", 1)
+        if mesh is not None:
+            self.mesh = mesh
+        elif mp > 1:
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "model_parallel > 1 with multi-host is not wired yet "
+                    "(per-host eval meshes would need the model axis too); "
+                    "use pure data-parallel across hosts"
+                )
+            n = len(jax.devices())
+            if n % mp:
+                raise ValueError(
+                    f"model_parallel={mp} must divide device count {n}"
+                )
+            self.mesh = make_mesh(
+                shape=(n // mp, mp), axis_names=("data", "model")
+            )
+            # TP-required model tweaks (see the respective config docs):
+            # grouped-conv grads mis-partition -> einsum pos_conv; the
+            # Pallas SAE kernel doesn't shard transparently -> XLA path
+            import dataclasses as _dc
+
+            model_cfg = cfg.model
+            if not model_cfg.encoder.grouped_conv_einsum:
+                model_cfg = _dc.replace(
+                    model_cfg,
+                    encoder=_dc.replace(
+                        model_cfg.encoder, grouped_conv_einsum=True
+                    ),
+                )
+            if model_cfg.sae.use_pallas:
+                print(
+                    "NOTE: model_parallel > 1 disables the Pallas SAE "
+                    "kernel (per-shard Pallas needs shard_map); using "
+                    "the XLA SAE path",
+                    flush=True,
+                )
+                model_cfg = _dc.replace(
+                    model_cfg,
+                    sae=_dc.replace(model_cfg.sae, use_pallas=False),
+                )
+            if model_cfg is not cfg.model:
+                cfg = _dc.replace(cfg, model=model_cfg)
+                self.cfg = cfg
+        else:
+            self.mesh = make_mesh()
+        self.state_shardings = None  # set by subclasses for TP layouts
         # Multi-host: eval/scoring is embarrassingly parallel, so each
         # host runs it on a mesh of its OWN chips over its own data
         # shard — no lockstep constraint on per-host eval batch counts
@@ -213,7 +260,12 @@ class BaseTrainer:
         if sample_wav is None:
             sample_wav = np.zeros((2, self.cfg.train.cut_length), np.float32)
         state = self._create_state(jnp.asarray(sample_wav))
-        self.state = replicate(state, self.mesh)
+        if self.state_shardings is not None:
+            from sls_tpu.parallel.tensor import place_state
+
+            self.state = place_state(state, self.state_shardings)
+        else:
+            self.state = replicate(state, self.mesh)
 
     def resume(self, explicit_path=None, fresh_start: bool = False) -> bool:
         """Restore from the resume chain; returns True if resumed.
@@ -510,8 +562,30 @@ class Trainer(BaseTrainer):
 
     def _build_model_and_steps(self) -> None:
         self.model = Detector(self.cfg.model)
-        self.train_step = make_train_step(self.model, self.cfg, self.mesh)
-        self.eval_step = make_eval_step(self.model, self.cfg, self.eval_mesh)
+        params_sh = None
+        if getattr(self.cfg.train, "model_parallel", 1) > 1:
+            from sls_tpu.parallel.tensor import state_shardings
+
+            state_shape = jax.eval_shape(
+                lambda key, w: create_train_state(
+                    self.model, self.cfg, key, w
+                ),
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct(
+                    (2, self.cfg.train.cut_length), jnp.float32
+                ),
+            )
+            self.state_shardings = state_shardings(state_shape, self.mesh)
+            params_sh = "inherit"
+        self.train_step = make_train_step(
+            self.model, self.cfg, self.mesh,
+            "inherit" if self.state_shardings is not None else None,
+        )
+        # single-process: eval_mesh is the train mesh, so the TP params
+        # layout carries over; multi-host TP is rejected in __init__
+        self.eval_step = make_eval_step(
+            self.model, self.cfg, self.eval_mesh, params_sh
+        )
 
     def _create_state(self, sample_wav: jnp.ndarray) -> TrainState:
         return create_train_state(self.model, self.cfg, self.rng, sample_wav)
@@ -524,6 +598,19 @@ class Trainer(BaseTrainer):
         }
 
     def _restore_state(self, restored) -> None:
+        if self.state_shardings is not None:
+            from sls_tpu.parallel.tensor import place_state
+
+            self.state = self.state.replace(
+                params=place_state(
+                    restored["params"], self.state_shardings.params
+                ),
+                opt_state=place_state(
+                    restored["opt_state"], self.state_shardings.opt_state
+                ),
+                step=jnp.asarray(restored["step"]),
+            )
+            return
         self.state = self.state.replace(
             params=replicate(restored["params"], self.mesh),
             opt_state=replicate(restored["opt_state"], self.mesh),

@@ -67,12 +67,19 @@ def create_train_state(
 
 
 def make_train_step(
-    model: Detector, cfg: ExperimentConfig, mesh: Optional[Mesh] = None
+    model: Detector,
+    cfg: ExperimentConfig,
+    mesh: Optional[Mesh] = None,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns step(state, wav [B,S], labels [B], base_rng) ->
     (state, metrics dict with loss/cls_loss/sae_loss/cpc_loss/scores).
+
+    ``state_shardings``: optional NamedSharding pytree matching the
+    TrainState (parallel/tensor.state_shardings) for tensor-parallel
+    layouts on a 2-D mesh; default replicates the whole state.
     """
     tcfg = cfg.train
     compute_cpc = cfg.model.use_cpc
@@ -131,16 +138,30 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if state_shardings == "inherit":
+        # tensor-parallel layouts: the state arrives committed with its
+        # per-leaf shardings (parallel/tensor.place_state); jit inherits
+        # them and the elementwise optimizer update preserves them
+        return jax.jit(
+            step,
+            donate_argnums=(0,),
+            in_shardings=(None, data, data, data, repl),
+            out_shardings=None,
+        )
+    state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(repl, data, data, data, repl),
-        out_shardings=(repl, None),
+        in_shardings=(state_sh, data, data, data, repl),
+        out_shardings=(state_sh, None),
     )
 
 
 def make_eval_step(
-    model: Detector, cfg: ExperimentConfig, mesh: Optional[Mesh] = None
+    model: Detector,
+    cfg: ExperimentConfig,
+    mesh: Optional[Mesh] = None,
+    params_shardings=None,
 ) -> Callable:
     """Build the jitted eval step: (params, wav) -> dict with score [B],
     log_probs, sae_loss (for validation telemetry)."""
@@ -158,4 +179,7 @@ def make_eval_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=None)
+    if params_shardings == "inherit":
+        return jax.jit(step, in_shardings=(None, data), out_shardings=None)
+    params_sh = repl if params_shardings is None else params_shardings
+    return jax.jit(step, in_shardings=(params_sh, data), out_shardings=None)

@@ -1,0 +1,252 @@
+"""Tensor-parallel layout (parallel/tensor.py) equivalence tests.
+
+A 2-D ('data','model') mesh with the FFN / SAE wide dims sharded must
+produce the same losses/gradients/scores as the unsharded computation —
+GSPMD inserts the collectives, so equivalence is a layout property, not
+a numerics change.  Runs on the 8-device virtual CPU mesh (4 data x 2
+model).  The reference has no model parallelism at all (SURVEY §2.10);
+this is the TPU scale-out axis.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.sharding import PartitionSpec as P
+
+from sls_tpu.config import ExperimentConfig, TrainConfig
+from sls_tpu.parallel.mesh import make_mesh
+from sls_tpu.parallel.tensor import (
+    count_sharded,
+    place_state,
+    spec_for_path,
+    state_shardings,
+)
+from sls_tpu.train.loop import Trainer
+from sls_tpu.train.steps import create_train_state, make_train_step
+from sls_tpu.models.detector import Detector
+from tests.test_detector_train import WAV_LEN, synthetic_batch, tiny_model_config
+
+
+def _mesh_2d():
+    return make_mesh(shape=(4, 2), axis_names=("data", "model"))
+
+
+def _tiny_cfg():
+    # tiny topology: ffn_dim and dict_size divisible by model axis (2).
+    # grouped_conv_einsum on BOTH sides of every comparison (the Trainer
+    # auto-enables it under TP; see the GSPMD grad-bug regression test)
+    model = tiny_model_config()
+    model = dataclasses.replace(
+        model,
+        encoder=dataclasses.replace(model.encoder, grouped_conv_einsum=True),
+    )
+    return ExperimentConfig(
+        model=model,
+        train=TrainConfig(batch_size=8, lr=1e-3, cut_length=WAV_LEN,
+                          model_parallel=2),
+    )
+
+
+def test_sharding_rules_hit_expected_leaves():
+    cfg = _tiny_cfg()
+    model = Detector(cfg.model)
+    state_shape = jax.eval_shape(
+        lambda key, w: create_train_state(model, cfg, key, w),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((2, WAV_LEN), jnp.float32),
+    )
+    mesh = _mesh_2d()
+    sh = state_shardings(state_shape, mesh)
+    n = count_sharded(sh)
+    # per transformer layer: fc1 kernel+bias, fc2 kernel = 3; SAE:
+    # W_enc, W_dec, b_enc = 3; the classifier MLP's fc1/fc2 match the
+    # same rules (a valid column/row pair) = 3; Adam mu/nu mirror all
+    n_layers = cfg.model.encoder.encoder_layers
+    assert n == 3 * (n_layers + 2) * 3  # params + mu + nu
+
+    p = sh.params
+    enc = p["encoder"]["layer_0"]
+    assert enc["fc1"]["kernel"].spec == P(None, "model")
+    assert enc["fc1"]["bias"].spec == P("model")
+    assert enc["fc2"]["kernel"].spec == P("model", None)
+    assert enc["fc2"]["bias"].spec == P()
+    sae = p["sae"]
+    assert sae["W_enc"].spec == P(None, "model")
+    assert sae["W_dec"].spec == P("model", None)
+    assert sae["b_enc"].spec == P("model")
+    assert sae["b_dec"].spec == P()
+
+
+def test_spec_falls_back_when_not_divisible():
+    mesh = _mesh_2d()
+
+    class FakeKey:
+        def __init__(self, key):
+            self.key = key
+
+    leaf = jax.ShapeDtypeStruct((16, 7), jnp.float32)  # 7 % 2 != 0
+    spec = spec_for_path((FakeKey("fc1"), FakeKey("kernel")), leaf,
+                         "model", mesh.shape["model"])
+    assert spec == P()
+
+
+@pytest.mark.slow
+def test_tp_train_step_matches_unsharded():
+    """Loss + updated params of the TP layout == single-device step."""
+    cfg = _tiny_cfg()
+    model = Detector(cfg.model)
+    rng = np.random.default_rng(0)
+    wav_np, y_np = synthetic_batch(rng, 8)
+    wav = jnp.asarray(np.asarray(wav_np))
+    labels = jnp.asarray(np.asarray(y_np))
+    valid = jnp.ones((8,), bool)
+    key = jax.random.PRNGKey(0)
+
+    # reference: plain single-device step
+    state0 = create_train_state(model, cfg, key, wav[:2])
+    ref_step = make_train_step(model, cfg, mesh=None)
+    ref_state, ref_metrics = ref_step(state0, wav, labels, valid, key)
+
+    # TP: same init placed on the 2-D mesh
+    mesh = _mesh_2d()
+    state_tp = create_train_state(model, cfg, key, wav[:2])
+    sh = state_shardings(
+        jax.eval_shape(
+            lambda k, w: create_train_state(model, cfg, k, w),
+            key,
+            jax.ShapeDtypeStruct(wav[:2].shape, wav.dtype),
+        ),
+        mesh,
+    )
+    state_tp = place_state(state_tp, sh)
+    tp_step = make_train_step(model, cfg, mesh, "inherit")
+    tp_state, tp_metrics = tp_step(state_tp, wav, labels, valid, key)
+
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_metrics["scores"]), np.asarray(ref_metrics["scores"]),
+        rtol=2e-4, atol=2e-5,
+    )
+
+    # Gradients under the TP layout == unsharded gradients.  (Post-Adam
+    # params are NOT compared: zero-gradient leaves like k_proj bias
+    # amplify fp reassociation noise through m/sqrt(v) — same rationale
+    # as tests/test_detector_train.py's sharded-grad test.)
+    from sls_tpu.train.loss import weighted_nll
+    from sls_tpu.models.detector import total_loss as combine_loss
+
+    def loss_fn(params, w, y):
+        out = model.apply({"params": params}, w, train=False)
+        cls = weighted_nll(out["log_probs"], y, cfg.train.loss_weights)
+        return combine_loss(cls, out["sae_loss"], cfg.train.sae_weight,
+                            out["cpc_loss"], 0.0)
+
+    # state0 was DONATED to ref_step; rebuild identical params (same key)
+    params_g = create_train_state(model, cfg, key, wav[:2]).params
+    g_ref = jax.grad(loss_fn)(params_g, wav, labels)
+    data = jax.sharding.NamedSharding(mesh, P("data"))
+    g_tp = jax.jit(
+        jax.grad(loss_fn), in_shardings=(None, data, data),
+    )(place_state(params_g, sh.params), wav, labels)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_tp = dict(jax.tree_util.tree_leaves_with_path(g_tp))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_tp[path]), np.asarray(leaf),
+            rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.slow
+def test_tp_trainer_end_to_end(tmp_path):
+    """Trainer with model_parallel=2: epoch + validate + resume chain."""
+    from sls_tpu.data.pipeline import ArrayLoader
+
+    cfg = _tiny_cfg()
+    trainer = Trainer(cfg, tmp_path, tensorboard=False)
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    assert count_sharded(trainer.state_shardings) > 0
+    trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+    rng = np.random.default_rng(1)
+    wav, y = synthetic_batch(rng, 16)
+    loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+    tr = trainer.train_epoch(loader, 0)
+    assert np.isfinite(tr.loss)
+    va = trainer.validate(loader)
+    assert np.isfinite(va.loss)
+    trainer.ckpt.save_epoch(trainer._state_tree(), 0, {"val_eer": va.eer})
+
+    # a fresh TP trainer restores the sharded state from the checkpoint
+    t2 = Trainer(cfg, tmp_path, tensorboard=False)
+    t2.init_state(np.zeros((2, WAV_LEN), np.float32))
+    assert t2.resume()
+    va2 = t2.validate(loader)
+    np.testing.assert_allclose(va2.loss, va.loss, rtol=1e-5)
+
+
+def test_pos_conv_einsum_matches_grouped_conv():
+    """The TP-safe einsum pos_conv must equal nn.Conv bit-for-bit-ish
+    on the SAME params (shared checkpoint layout)."""
+    from sls_tpu.config import tiny_xlsr_config
+    from sls_tpu.encoder.xlsr import PositionalConv
+
+    cfg_conv = tiny_xlsr_config()
+    cfg_es = dataclasses.replace(cfg_conv, grouped_conv_einsum=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 19, cfg_conv.embed_dim))
+    mod_conv = PositionalConv(cfg_conv)
+    params = mod_conv.init(jax.random.PRNGKey(1), x)
+    y_conv = mod_conv.apply(params, x)
+    y_es = PositionalConv(cfg_es).apply(params, x)
+    assert y_es.shape == y_conv.shape
+    np.testing.assert_allclose(
+        np.asarray(y_es), np.asarray(y_conv), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grouped_conv_gspmd_grad_bug_regression():
+    """Documents the upstream bug that forces the einsum path: grouped
+    conv WEIGHT grads come out scaled by the size of an unused mesh
+    axis under a 2-D mesh (jax 0.9.0).  If this starts passing with
+    ratio 1, the einsum workaround can be retired."""
+    from jax.sharding import NamedSharding
+
+    mesh = _mesh_2d()
+    rng = np.random.RandomState(0)
+    B, T, C, K, G = 8, 16, 32, 5, 4
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, C // G, C).astype(np.float32) * 0.1)
+
+    def loss(w, x):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=G,
+        )
+        return jnp.sum(y ** 2)
+
+    g_ref = jax.grad(loss)(w, x)
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    g_tp = jax.jit(jax.grad(loss), in_shardings=(repl, data))(
+        jax.device_put(w, repl), jax.device_put(x, data)
+    )
+    ratio = np.asarray(g_tp) / np.asarray(g_ref)
+    assert np.allclose(ratio, 2.0, atol=1e-2) or np.allclose(
+        ratio, 1.0, atol=1e-2
+    ), f"unexpected grouped-conv grad ratio {ratio.mean()}"
+    if np.allclose(ratio, 1.0, atol=1e-2):  # upstream fixed!
+        pytest.skip("grouped-conv GSPMD grad bug fixed upstream — "
+                    "grouped_conv_einsum workaround can be retired")
+
+
+def test_multihost_tp_rejected(monkeypatch):
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(NotImplementedError):
+        Trainer(_tiny_cfg(), "/tmp/nope", tensorboard=False)
