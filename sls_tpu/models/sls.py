@@ -185,6 +185,12 @@ class SLSTrainer(BaseTrainer):
     log_prefix = "[sls] "
 
     def _build_model_and_steps(self) -> None:
+        if getattr(self.cfg.train, "model_parallel", 1) > 1:
+            raise NotImplementedError(
+                "model_parallel > 1 is wired for the SAE Detector family "
+                "(parallel/tensor.py rules); the SLS parity model is "
+                "data-parallel only"
+            )
         self.model = SLSDetector(self.cfg.model)
         self.train_step = make_sls_train_step(self.model, self.cfg, self.mesh)
         self.eval_step = make_sls_eval_step(self.model, self.eval_mesh)
