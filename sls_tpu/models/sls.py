@@ -185,7 +185,7 @@ class SLSTrainer(BaseTrainer):
     log_prefix = "[sls] "
 
     def _build_model_and_steps(self) -> None:
-        if getattr(self.cfg.train, "model_parallel", 1) > 1:
+        if self.cfg.train.model_parallel > 1:
             raise NotImplementedError(
                 "model_parallel > 1 is wired for the SAE Detector family "
                 "(parallel/tensor.py rules); the SLS parity model is "

@@ -233,11 +233,13 @@ def merge_part_files(out_path) -> None:
         return
     sync_hosts("parts-written")
     if is_primary():
-        with open(out_path, "w") as fout:
+        import shutil
+
+        with open(out_path, "wb") as fout:
             for i in range(jax.process_count()):
                 part = f"{out_path}.part{i}"
-                with open(part) as fin:
-                    fout.write(fin.read())
+                with open(part, "rb") as fin:
+                    shutil.copyfileobj(fin, fout)
                 os.unlink(part)
     sync_hosts("parts-merged")
 

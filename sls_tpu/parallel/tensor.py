@@ -112,6 +112,50 @@ def place_state(state_tree: Any, shardings) -> Any:
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 
+def tp_mesh_and_config(cfg, devices=None):
+    """Build the ('data','model') mesh for ``cfg.train.model_parallel``
+    and apply the TP-required model tweaks (einsum pos_conv — see the
+    GSPMD grouped-conv grad bug regression test — and the XLA SAE path,
+    since Pallas calls don't shard transparently).
+
+    Returns (mesh, possibly-updated cfg).
+    """
+    import dataclasses
+
+    from sls_tpu.parallel.mesh import make_mesh
+
+    mp = cfg.train.model_parallel
+    devs = list(devices if devices is not None else jax.devices())
+    if len(devs) % mp:
+        raise ValueError(
+            f"model_parallel={mp} must divide device count {len(devs)}"
+        )
+    mesh = make_mesh(
+        devs, shape=(len(devs) // mp, mp), axis_names=("data", "model")
+    )
+    model_cfg = cfg.model
+    if not model_cfg.encoder.grouped_conv_einsum:
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            encoder=dataclasses.replace(
+                model_cfg.encoder, grouped_conv_einsum=True
+            ),
+        )
+    if model_cfg.sae.use_pallas:
+        print(
+            "NOTE: model_parallel > 1 disables the Pallas SAE kernel "
+            "(per-shard Pallas needs shard_map); using the XLA SAE path",
+            flush=True,
+        )
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            sae=dataclasses.replace(model_cfg.sae, use_pallas=False),
+        )
+    if model_cfg is not cfg.model:
+        cfg = dataclasses.replace(cfg, model=model_cfg)
+    return mesh, cfg
+
+
 def count_sharded(shardings) -> int:
     """Number of leaves with a non-replicated spec (for logging/tests)."""
     return sum(

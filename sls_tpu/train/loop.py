@@ -95,6 +95,20 @@ class EpochMetrics:
     eer: float = 50.0
 
 
+def _gathered_eer(scores_all: List[np.ndarray],
+                  labels_all: List[np.ndarray]) -> float:
+    """EER over per-host accumulated score/label rows: one ragged
+    cross-host gather (identity single-process); 50% on an empty epoch
+    (every batch rejected by the non-finite guard, or an empty loader)."""
+    scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
+    labels_cat = (
+        np.concatenate(labels_all) if labels_all else np.zeros(0, np.int64)
+    )
+    scores_g = allgather_ragged_rows(scores_cat.astype(np.float32))
+    labels_g = allgather_ragged_rows(labels_cat.astype(np.int32))
+    return 50.0 if scores_g.size == 0 else float(roc_eer(scores_g, labels_g))
+
+
 class BaseTrainer:
     """Single-controller SPMD epoch driver, shared by all model families.
 
@@ -119,51 +133,19 @@ class BaseTrainer:
         self.cfg = cfg
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        mp = getattr(cfg.train, "model_parallel", 1)
         if mesh is not None:
             self.mesh = mesh
-        elif mp > 1:
+        elif cfg.train.model_parallel > 1:
             if jax.process_count() > 1:
                 raise NotImplementedError(
                     "model_parallel > 1 with multi-host is not wired yet "
                     "(per-host eval meshes would need the model axis too); "
                     "use pure data-parallel across hosts"
                 )
-            n = len(jax.devices())
-            if n % mp:
-                raise ValueError(
-                    f"model_parallel={mp} must divide device count {n}"
-                )
-            self.mesh = make_mesh(
-                shape=(n // mp, mp), axis_names=("data", "model")
-            )
-            # TP-required model tweaks (see the respective config docs):
-            # grouped-conv grads mis-partition -> einsum pos_conv; the
-            # Pallas SAE kernel doesn't shard transparently -> XLA path
-            import dataclasses as _dc
+            from sls_tpu.parallel.tensor import tp_mesh_and_config
 
-            model_cfg = cfg.model
-            if not model_cfg.encoder.grouped_conv_einsum:
-                model_cfg = _dc.replace(
-                    model_cfg,
-                    encoder=_dc.replace(
-                        model_cfg.encoder, grouped_conv_einsum=True
-                    ),
-                )
-            if model_cfg.sae.use_pallas:
-                print(
-                    "NOTE: model_parallel > 1 disables the Pallas SAE "
-                    "kernel (per-shard Pallas needs shard_map); using "
-                    "the XLA SAE path",
-                    flush=True,
-                )
-                model_cfg = _dc.replace(
-                    model_cfg,
-                    sae=_dc.replace(model_cfg.sae, use_pallas=False),
-                )
-            if model_cfg is not cfg.model:
-                cfg = _dc.replace(cfg, model=model_cfg)
-                self.cfg = cfg
+            self.mesh, self.cfg = tp_mesh_and_config(cfg)
+            cfg = self.cfg
         else:
             self.mesh = make_mesh()
         self.state_shardings = None  # set by subclasses for TP layouts
@@ -377,24 +359,12 @@ class BaseTrainer:
             [sums["loss"], sums["cls"], sums["sae"], sums["cpc"],
              float(n_seen)]
         )
-        scores_cat = (
-            np.concatenate(scores_all) if scores_all else np.zeros(0)
-        )
-        labels_cat = (
-            np.concatenate(labels_all) if labels_all else np.zeros(0, np.int64)
-        )
-        scores_g = allgather_ragged_rows(scores_cat.astype(np.float32))
-        labels_g = allgather_ragged_rows(labels_cat.astype(np.int32))
         n = max(float(n_g), 1.0)
         return EpochMetrics(
             loss=float(loss_s) / n, cls_loss=float(cls_s) / n,
             sae_loss=float(sae_s) / n, cpc_loss=float(cpc_s) / n,
             acc=100.0 * float(sums["correct"]) / n,
-            eer=(
-                50.0
-                if scores_g.size == 0
-                else float(roc_eer(scores_g, labels_g))
-            ),
+            eer=_gathered_eer(scores_all, labels_all),
         )
 
     def validate(self, loader) -> EpochMetrics:
@@ -436,21 +406,11 @@ class BaseTrainer:
         loss_sum, sae_sum, correct, n_seen = allreduce_sum_scalars(
             [loss_sum, sae_sum, correct, float(n_seen)]
         )
-        scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
-        labels_cat = (
-            np.concatenate(labels_all) if labels_all else np.zeros(0, np.int32)
-        )
-        scores_g = allgather_ragged_rows(scores_cat.astype(np.float32))
-        labels_g = allgather_ragged_rows(labels_cat.astype(np.int32))
         n = max(float(n_seen), 1.0)
         return EpochMetrics(
             loss=float(loss_sum) / n, sae_loss=float(sae_sum) / n,
             acc=100.0 * float(correct) / n,
-            eer=(
-                50.0
-                if scores_g.size == 0
-                else float(roc_eer(scores_g, labels_g))
-            ),
+            eer=_gathered_eer(scores_all, labels_all),
         )
 
     def fit(self, train_loader, val_loader, num_epochs: Optional[int] = None):
@@ -563,7 +523,7 @@ class Trainer(BaseTrainer):
     def _build_model_and_steps(self) -> None:
         self.model = Detector(self.cfg.model)
         params_sh = None
-        if getattr(self.cfg.train, "model_parallel", 1) > 1:
+        if self.cfg.train.model_parallel > 1:
             from sls_tpu.parallel.tensor import state_shardings
 
             state_shape = jax.eval_shape(

@@ -142,18 +142,15 @@ def make_train_step(
         # tensor-parallel layouts: the state arrives committed with its
         # per-leaf shardings (parallel/tensor.place_state); jit inherits
         # them and the elementwise optimizer update preserves them
-        return jax.jit(
-            step,
-            donate_argnums=(0,),
-            in_shardings=(None, data, data, data, repl),
-            out_shardings=None,
-        )
-    state_sh = repl if state_shardings is None else state_shardings
+        state_sh, state_out = None, None
+    else:
+        state_sh = repl if state_shardings is None else state_shardings
+        state_out = (state_sh, None)
     return jax.jit(
         step,
         donate_argnums=(0,),
         in_shardings=(state_sh, data, data, data, repl),
-        out_shardings=(state_sh, None),
+        out_shardings=state_out,
     )
 
 
@@ -180,6 +177,7 @@ def make_eval_step(
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     if params_shardings == "inherit":
-        return jax.jit(step, in_shardings=(None, data), out_shardings=None)
-    params_sh = repl if params_shardings is None else params_shardings
+        params_sh = None
+    else:
+        params_sh = repl if params_shardings is None else params_shardings
     return jax.jit(step, in_shardings=(params_sh, data), out_shardings=None)
