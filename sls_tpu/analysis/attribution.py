@@ -113,11 +113,17 @@ def within_class_cue_consistency(
         return float(np.mean(sims))
 
     labels = np.asarray(labels)
+    n_pair = int(min((labels == 1).sum(), (labels == 0).sum()))
     return {
         "bonafide_consistency": group_overlap(cues[labels == 1]),
         "spoof_consistency": group_overlap(cues[labels == 0]),
-        "cross_class_overlap": cue_jaccard_stability(
-            cues[labels == 1][: min((labels == 1).sum(), (labels == 0).sum())],
-            cues[labels == 0][: min((labels == 1).sum(), (labels == 0).sum())],
+        # single-class inputs have no cross-class pairs: report 0.0
+        # rather than np.mean([]) = NaN leaking into JSON reports
+        "cross_class_overlap": (
+            cue_jaccard_stability(
+                cues[labels == 1][:n_pair], cues[labels == 0][:n_pair]
+            )
+            if n_pair > 0
+            else 0.0
         ),
     }

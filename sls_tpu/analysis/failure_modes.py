@@ -114,19 +114,23 @@ def discriminative_transients_probe(
     from sklearn.model_selection import cross_val_score
 
     codes = np.asarray(codes)
-    labels = np.asarray(labels)
+    # labels often arrive float64 (pandas / np.loadtxt): cast so
+    # class-count logic works; use unique counts, not bincount, so label
+    # vocabularies like {1, 2} don't pick up a phantom empty 0-bin
+    labels = np.asarray(labels).astype(np.int64)
     if lifetime_threshold is None:
         lifetime_threshold = codes.shape[1] / 4
 
     split = transient_persistent_split(codes, lifetime_threshold)
     pooled = codes.mean(axis=1)  # [B, D]
+    _, class_counts = np.unique(labels, return_counts=True)
 
     def probe_acc(mask: np.ndarray) -> float:
-        if mask.sum() == 0 or len(np.unique(labels)) < 2:
+        if mask.sum() == 0 or len(class_counts) < 2:
             return 0.5
         x = pooled[:, mask]
         clf = LogisticRegression(max_iter=1000, random_state=seed)
-        folds = min(3, np.bincount(labels).min())
+        folds = min(3, int(class_counts.min()))
         if folds < 2:
             return 0.5
         return float(cross_val_score(clf, x, labels, cv=folds).mean())

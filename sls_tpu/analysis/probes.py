@@ -46,18 +46,25 @@ def acoustic_probe(
     top-k most correlated features and the full correlation vector.
     """
     B, T, D = codes.shape
+    # Per-utterance property vectors are padded (edge mode) or cropped
+    # to EXACTLY T frames: a single short utterance would otherwise
+    # shift every later utterance's properties against the flattened
+    # [B*T] code rows, silently correlating mismatched pairs.
     prop_frames: Dict[str, List[np.ndarray]] = {}
     for b in range(B):
         feats = acoustic_features(wavs[b], sr=sr)
         for name, v in feats.items():
+            if len(v) == 0:
+                v = np.zeros(T, np.float32)
+            elif len(v) < T:
+                v = np.pad(v, (0, T - len(v)), mode="edge")
             prop_frames.setdefault(name, []).append(v[:T])
 
     flat_codes = codes.reshape(B * T, D)
     out: Dict[str, Dict] = {}
     for name, per_utt in prop_frames.items():
-        prop = np.concatenate([p for p in per_utt])[:, None]  # [B*T', 1]
-        n = min(len(prop), len(flat_codes))
-        corr = _pearson_matrix(flat_codes[:n], prop[:n])[:, 0]  # [D]
+        prop = np.concatenate(per_utt)[:, None]  # [B*T, 1], aligned
+        corr = _pearson_matrix(flat_codes, prop)[:, 0]  # [D]
         order = np.argsort(-np.abs(corr))
         out[name] = {
             "correlations": corr,

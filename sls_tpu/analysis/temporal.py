@@ -104,10 +104,11 @@ def multi_scale_structure(
     the least discontinuity is the 'natural' temporal granularity
     (reference: analyze_multi_scale_temporal_structure,
     model_window_topk.py:1169-1255)."""
-    out = {str(w): boundary_discontinuity(codes, w) for w in windows}
-    best = min(out, key=lambda w: out[w]["discontinuity"])
-    out["optimal_window"] = {"window": float(best)}
-    return out
+    per_window = {str(w): boundary_discontinuity(codes, w) for w in windows}
+    best = min(per_window, key=lambda w: per_window[w]["discontinuity"])
+    # homogeneous per-window dict + the winner as a sibling, so consumers
+    # can iterate per_window.items() without special-casing one key
+    return {"per_window": per_window, "optimal_window": float(best)}
 
 
 def transient_persistent_split(
@@ -167,31 +168,58 @@ def feature_identity_stability(codes, window: int) -> Dict[str, float]:
     }
 
 
-def semantic_drift(codes, window: int) -> Dict[str, float]:
+def semantic_drift(
+    codes, window: int, top_k_features: int = 100
+) -> Dict[str, float]:
     """Context-consistency of feature identities across windows
     (reference: analyze_semantic_drift, model_window_topk.py:843-937).
 
-    For each window, build the feature co-activation context (how often
-    each feature fires with each other feature); semantic consistency is
-    the mean cosine similarity of a feature's context vector between
-    consecutive windows (reference reports ~0.904 for CPC w=8)."""
-    a = _active(codes).astype(np.float32)  # [B, T, D]
+    Reference semantics, vectorized: every window contributes a binary
+    active-feature set; each occurrence of a feature records its CONTEXT
+    (the window's active set with the feature itself removed).  A
+    feature's consistency is the mean pairwise cosine similarity of its
+    context vectors over all occurrences (off-diagonal only); the
+    reported score averages the ``top_k_features`` most frequent
+    features (reference reports ~0.904 for CPC w=8).
+
+    The O(n^2) pairwise-cosine mean is computed in O(n*D) via
+    sum_{i!=j} c_i.c_j = ||sum c||^2 - sum ||c||^2 on unit rows
+    (zero-context rows normalize to zero exactly like F.normalize).
+    """
+    a = _active(codes)  # bool [B, T, D]
     B, T, D = a.shape
     n_win = T // window
-    if n_win < 2:
-        return {"semantic_consistency": 1.0, "n_windows": float(n_win)}
-    aw = a[:, : n_win * window].reshape(B, n_win, window, D)
-    # window context: co-occurrence = activations^T @ activations per window
-    # reduced to the feature's mean co-active pattern
-    occ = aw.sum(axis=2)  # [B, n_win, D] — activation counts per window
-    # consecutive-window cosine per feature, weighted by presence
-    x, y = occ[:, :-1], occ[:, 1:]
-    num = (x * y).sum(-1)
-    den = np.linalg.norm(x, axis=-1) * np.linalg.norm(y, axis=-1)
-    cos = np.where(den > 0, num / np.maximum(den, 1e-12), 1.0)
+    if n_win < 1:
+        return {"semantic_consistency": 1.0, "n_windows": 0.0,
+                "num_features_analyzed": 0.0}
+    win_active = (
+        a[:, : n_win * window]
+        .reshape(B, n_win, window, D)
+        .any(axis=2)
+        .reshape(B * n_win, D)
+        .astype(np.float32)
+    )  # [W, D] — one binary active-set per window occurrence
+    freq = win_active.sum(axis=0)
+    top = np.argsort(-freq)[:top_k_features]
+    scores = []
+    for d in top:
+        rows = win_active[win_active[:, d] > 0]
+        n = rows.shape[0]
+        if n < 2:
+            continue
+        ctx = rows.copy()
+        ctx[:, d] = 0.0
+        norms = np.linalg.norm(ctx, axis=1, keepdims=True)
+        unit = np.divide(ctx, norms, out=np.zeros_like(ctx),
+                         where=norms > 0)
+        s = unit.sum(axis=0)
+        n_unit = float((norms[:, 0] > 0).sum())  # sum of unit norms^2
+        scores.append(float((s @ s - n_unit) / (n * (n - 1))))
+    mean = sum(scores) / (len(scores) + 1e-8)
     return {
-        "semantic_consistency": float(cos.mean()),
+        "semantic_consistency": float(mean),
         "n_windows": float(n_win),
+        "num_features_analyzed": float(len(scores)),
     }
 
 

@@ -80,21 +80,30 @@ def overlap_stability_eval(
         for utt, ok, score in zip(batch.utt_ids, v, s):
             if ok:
                 scores[utt] = float(score)
+        # weight per-batch means by their valid count, so a small final
+        # partial batch doesn't get equal say with full batches
+        bsz = int(v.sum())
         stats = boundary_discontinuity(active[v], window, overlap=True)
-        interior.append(stats["interior_jaccard"])
-        boundary.append(stats["boundary_jaccard"])
-        jaccard.append(mean_temporal_jaccard(active[v]))
-        n_seen += int(v.sum())
+        interior.append((stats["interior_jaccard"], bsz))
+        boundary.append((stats["boundary_jaccard"], bsz))
+        jaccard.append((mean_temporal_jaccard(active[v]), bsz))
+        n_seen += bsz
         if max_samples is not None and n_seen >= max_samples:
             break
 
-    interior_m = float(np.mean(interior)) if interior else 1.0
-    boundary_m = float(np.mean(boundary)) if boundary else 1.0
+    def wmean(pairs, default=1.0):
+        tot = sum(w for _, w in pairs)
+        if not tot:
+            return default
+        return float(sum(v * w for v, w in pairs) / tot)
+
+    interior_m = wmean(interior)
+    boundary_m = wmean(boundary)
     result = {
         "num_samples": n_seen,
         "scores": scores,
         "temporal_stability": {
-            "mean_jaccard": float(np.mean(jaccard)) if jaccard else 1.0,
+            "mean_jaccard": wmean(jaccard),
             "interior": interior_m,
             "boundary": boundary_m,
             "discontinuity_pct": 100.0 * (interior_m - boundary_m)
@@ -135,6 +144,26 @@ def extract_windows(
     return np.stack([wav[s : s + window] for s in starts])
 
 
+# jitted forward per MODEL, not per call: a fresh @jax.jit closure per
+# utterance would re-trace and re-compile for every single clip (hours
+# of pure recompilation over an In-the-Wild-scale set).  Keyed on the
+# model object itself (held strongly, so ids can't be recycled).
+_FWD_CACHE: Dict[int, tuple] = {}
+
+
+def _scoring_fwd(model):
+    entry = _FWD_CACHE.get(id(model))
+    if entry is not None and entry[0] is model:
+        return entry[1]
+
+    @jax.jit
+    def fwd(params, w):
+        return model.apply({"params": params}, w, train=False)["score"]
+
+    _FWD_CACHE[id(model)] = (model, fwd)
+    return fwd
+
+
 def score_full_utterance(
     model, params, wav: np.ndarray, window: int = 64600,
     stride: Optional[int] = None, batch_size: int = 16,
@@ -149,11 +178,7 @@ def score_full_utterance(
     """
     windows = extract_windows(np.asarray(wav, np.float32), window, stride)
     n = len(windows)
-
-    @jax.jit
-    def fwd(params, w):
-        return model.apply({"params": params}, w, train=False)["score"]
-
+    fwd = _scoring_fwd(model)
     scores = []
     for lo in range(0, n, batch_size):
         chunk = windows[lo : lo + batch_size]

@@ -67,14 +67,17 @@ class TiedSparseAutoencoder(nn.Module):
 def dead_neuron_stats(codes) -> Dict[str, float]:
     """Dead-neuron telemetry over collected codes [N..., hidden]
     (reference: model_backup.py feature_activation_count /
-    get_dead_neuron_ratio)."""
+    get_dead_neuron_ratio).  Delegates the activity definition to
+    analysis/sparsity.feature_activation_freq so SAE telemetry and the
+    analysis suite can never drift apart."""
     import numpy as np
 
-    a = np.asarray(codes) > 0
-    flat = a.reshape(-1, a.shape[-1])
-    counts = flat.sum(0)
+    from sls_tpu.analysis.sparsity import feature_activation_freq
+
+    freq = feature_activation_freq(codes)
+    n_rows = int(np.asarray(codes).size // freq.shape[-1])
     return {
-        "dead_ratio": float((counts == 0).mean()),
-        "mean_activation_rate": float(flat.mean()),
-        "total_samples": int(flat.shape[0]),
+        "dead_ratio": float((freq == 0).mean()),
+        "mean_activation_rate": float(freq.mean()),
+        "total_samples": n_rows,
     }

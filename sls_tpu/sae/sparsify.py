@@ -118,12 +118,14 @@ def _overlap_geometry(T: int, window: int) -> Tuple[int, int, int, int]:
     """(stride, num_windows, pad, T_padded) for the 50%-overlap scheme,
     replicating the reference's arithmetic (model_window_topk.py:131-151).
 
-    Degenerate branch (stride >= T, i.e. T <= window//2): the reference
-    keeps the sequence unpadded, which makes its unfold() crash for
-    T < window; we pad up to one full window instead — a strict fix."""
+    Degenerate branch (T < window): the reference keeps the sequence
+    unpadded, which makes its unfold() produce ZERO windows (crash or
+    empty output — for window//2 < T < window the floor-divided window
+    count is 0 and every frame would get zero votes); we pad up to one
+    full window instead — a strict fix covering the whole short range."""
     stride = max(1, window // 2)
-    if stride >= T:
-        return stride, 1, max(0, window - T), max(T, window)
+    if T < window:
+        return stride, 1, window - T, window
     num_windows = (T - window) // stride + 1
     required = (num_windows - 1) * stride + window
     pad = max(0, required - T)

@@ -102,10 +102,14 @@ class TestTemporal:
         assert out["boundary_jaccard"] < 0.6
         assert out["discontinuity"] > 0.4
         ms = multi_scale_structure(codes, (2, 4, 8))
-        assert ms["optimal_window"]["window"] == 2.0  # w=2 has fewest breaks? no:
+        assert ms["optimal_window"] == 2.0  # w=2 has fewest breaks? no:
         # windows of 2 put half the transitions at "boundaries" that are
         # actually interior -> high boundary jaccard; just sanity-check keys
-        assert set(ms) == {"2", "4", "8", "optimal_window"}
+        assert set(ms) == {"per_window", "optimal_window"}
+        assert set(ms["per_window"]) == {"2", "4", "8"}
+        for stats in ms["per_window"].values():
+            assert {"interior_jaccard", "boundary_jaccard",
+                    "discontinuity"} <= set(stats)
 
     def test_transient_persistent(self):
         codes = np.zeros((1, 12, 3), np.float32)
@@ -124,6 +128,59 @@ class TestTemporal:
         for key in ("mean_jaccard", "mean_lifetime", "interior_jaccard",
                     "semantic_consistency"):
             assert np.isfinite(summary[key])
+
+    def test_semantic_drift_matches_reference_loop_form(self):
+        """Vectorized O(n*D) trick vs a literal transcription of the
+        reference algorithm (model_window_topk.py:843-937): per-feature
+        context vectors, mean pairwise off-diagonal cosine, averaged
+        over the top-K frequent features."""
+        codes = sparse_codes(B=4, T=32, D=24, k=5, seed=3)
+        window, top_k = 8, 10
+        a = codes > 0
+        B, T, D = a.shape
+        n_win = T // window
+        contexts = {}
+        for b in range(B):
+            for w in range(n_win):
+                active = a[b, w * window:(w + 1) * window].any(axis=0)
+                for d in np.flatnonzero(active):
+                    ctx = active.astype(np.float64).copy()
+                    ctx[d] = 0.0
+                    contexts.setdefault(int(d), []).append(ctx)
+        freq = {d: len(v) for d, v in contexts.items()}
+        top = sorted(freq, key=lambda d: -freq[d])[:top_k]
+        scores = []
+        for d in top:
+            if freq[d] < 2:
+                continue
+            cs = np.stack(contexts[d])
+            norms = np.linalg.norm(cs, axis=1, keepdims=True)
+            unit = np.divide(cs, norms, out=np.zeros_like(cs),
+                             where=norms > 0)
+            sim = unit @ unit.T
+            n = len(cs)
+            scores.append(float((sim.sum() - np.trace(sim)) / (n * (n - 1))))
+        want = sum(scores) / (len(scores) + 1e-8)
+
+        # tie-break of equal-frequency features may differ (argsort vs
+        # sorted); analyze all features so the top-K sets coincide
+        got = semantic_drift(codes, window, top_k_features=D)
+        want_all = []
+        for d in sorted(freq, key=lambda d: -freq[d]):
+            if freq[d] < 2:
+                continue
+            cs = np.stack(contexts[d])
+            norms = np.linalg.norm(cs, axis=1, keepdims=True)
+            unit = np.divide(cs, norms, out=np.zeros_like(cs),
+                             where=norms > 0)
+            sim = unit @ unit.T
+            n = len(cs)
+            want_all.append(float((sim.sum() - np.trace(sim))
+                                  / (n * (n - 1))))
+        want_full = sum(want_all) / (len(want_all) + 1e-8)
+        assert got["semantic_consistency"] == pytest.approx(
+            want_full, abs=1e-6
+        )
 
 
 class TestSparsity:

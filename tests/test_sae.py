@@ -130,6 +130,19 @@ class TestWindowOverlap:
         out = np.asarray(window_topk_overlap(jnp.asarray(x), 16, 8))
         assert np.all((out > 0).sum(axis=-1) <= 16)
 
+    @pytest.mark.parametrize("T", [5, 6, 7, 3, 4, 2, 1])
+    def test_short_sequences_keep_k_features(self, T):
+        """Regression: window//2 < T < window used to produce ZERO
+        windows (floor-divided count) and silently zero every code; all
+        T < window now pad to one full window."""
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0.05, 1.0, size=(2, T, 64)).astype(np.float32)
+        out = np.asarray(window_topk_overlap(jnp.asarray(x), 8, 8))
+        assert out.shape == x.shape
+        # every frame keeps the window's selected features (nonzero codes)
+        assert np.all((out > 0).sum(axis=-1) > 0)
+        assert np.all((out > 0).sum(axis=-1) <= 8)
+
 
 class TestWindowHard:
     @pytest.mark.parametrize("T,w", [(16, 8), (20, 8), (7, 4)])
