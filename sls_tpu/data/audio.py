@@ -50,7 +50,13 @@ def read_wav(path: PathLike) -> np.ndarray:
     files already at 16 kHz (no resampling is performed here — use
     ``resample_poly`` for off-rate files).
     """
+    return read_wav_rate(path)[0]
+
+
+def read_wav_rate(path: PathLike):
+    """(samples, sample_rate) for a WAV file — one open, one parse."""
     with wave.open(str(path), "rb") as w:
+        rate = w.getframerate()
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
         n_frames = w.getnframes()
@@ -76,35 +82,40 @@ def read_wav(path: PathLike) -> np.ndarray:
 
     if n_channels > 1:
         data = data.reshape(-1, n_channels).mean(axis=1)
-    return data
+    return data, rate
 
 
-def resample_to_16k(x: np.ndarray, sr: int) -> np.ndarray:
-    """Polyphase resample to 16 kHz (reference: torchaudio Resample in
+def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample (reference: torchaudio Resample in
     eval_2021_LA_torchaudio.py:54-56 for off-rate files)."""
-    if sr == SAMPLE_RATE or x.size == 0:
+    if sr == target_sr or x.size == 0:
         return x
     from math import gcd
 
     from scipy.signal import resample_poly
 
-    g = gcd(SAMPLE_RATE, sr)
-    return resample_poly(x, SAMPLE_RATE // g, sr // g).astype(np.float32)
+    g = gcd(target_sr, sr)
+    return resample_poly(x, target_sr // g, sr // g).astype(np.float32)
 
 
-def read_wav_rate(path: PathLike):
-    """(samples, sample_rate) for a WAV file."""
-    with wave.open(str(path), "rb") as w:
-        rate = w.getframerate()
-    return read_wav(path), rate
+def resample_to_16k(x: np.ndarray, sr: int) -> np.ndarray:
+    """``resample`` to the pipeline's 16 kHz."""
+    return resample(x, sr, SAMPLE_RATE)
+
+
+# exception types that mean THE FILE is bad (truncated/corrupt/not
+# really audio) — anything else (missing scipy, native-lib build
+# failure, permission/IO problems) is an infrastructure error and must
+# propagate instead of silently zero-filling the dataset
+_CORRUPT_FILE_ERRORS = (wave.Error, ValueError, EOFError)
 
 
 def load_audio(path: PathLike, target_sr: int = SAMPLE_RATE) -> np.ndarray:
     """Load FLAC or WAV to float32 mono, resampled to ``target_sr``.
 
-    Corrupt or unreadable files return an empty array so batch-level
-    zero-fallback can keep score files complete
-    (reference: eval_2021_LA_torchaudio.py:65-69).
+    Corrupt files return an empty array so batch-level zero-fallback can
+    keep score files complete (reference:
+    eval_2021_LA_torchaudio.py:65-69); infrastructure failures raise.
     """
     p = Path(path)
     suffix = p.suffix.lower()
@@ -118,8 +129,8 @@ def load_audio(path: PathLike, target_sr: int = SAMPLE_RATE) -> np.ndarray:
             from sls_tpu.data.flac import read_flac_rate
 
             data, sr = read_flac_rate(p)
-        return resample_to_16k(data, sr) if target_sr == SAMPLE_RATE else data
     except FileNotFoundError:
         raise
-    except Exception:
+    except _CORRUPT_FILE_ERRORS:
         return np.zeros(0, dtype=np.float32)
+    return resample(data, sr, target_sr)

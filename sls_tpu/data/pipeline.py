@@ -170,12 +170,12 @@ class BatchLoader:
             sel = order[lo : lo + self.batch_size]
             valid = np.ones(self.batch_size, bool)
             if len(sel) < self.batch_size:  # static shapes: tile the tail
-                pad = self.batch_size - len(sel)
                 valid[len(sel):] = False
-                sel = np.concatenate([sel, sel[: pad % max(len(sel), 1)]
-                                      if len(sel) else np.zeros(pad, np.int64)])
-                while len(sel) < self.batch_size:
-                    sel = np.concatenate([sel, sel[: self.batch_size - len(sel)]])
+                sel = (
+                    np.resize(sel, self.batch_size)
+                    if len(sel)
+                    else np.zeros(self.batch_size, np.int64)
+                )
             if all_flac:
                 # single native call: parallel decode + pad/tile in C++
                 from sls_tpu.data.flac import decode_batch

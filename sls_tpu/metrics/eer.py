@@ -196,6 +196,11 @@ def roc_eer(scores: Array, labels: Array) -> float:
     n_neg = int(np.sum(labels == 0))
     if n_pos == 0 or n_neg == 0:
         return 50.0
+    if np.all(scores == scores[0]):
+        # all-equal scores (constant model): the DET sweep would land on
+        # frr=far=1.0 via sort-order tie-breaking and report 100%; the
+        # documented chance-level contract is 50%
+        return 50.0
 
     frr, far, _ = compute_det_curve(scores[labels == 1], scores[labels == 0])
     idx = int(np.argmin(np.abs(frr - far)))

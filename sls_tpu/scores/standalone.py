@@ -72,6 +72,18 @@ def score_2019_protocol(score_file: str, protocol_file: str) -> Dict[str, float]
     if len(matched) != len(utt_ids):
         missing = len(utt_ids) - len(matched)
         raise ValueError(f"{missing} scored utterances missing from protocol")
+    if len(matched) < len(labels_map):
+        # a truncated score file (killed eval job leaves a usable
+        # prefix) silently shrinking the trial set would yield a
+        # quietly-wrong headline EER — same warning as the 2021 path
+        import sys
+
+        print(
+            f"WARNING: only {len(matched)}/{len(labels_map)} protocol "
+            f"trials have scores — EER below is computed on a PARTIAL "
+            f"trial set",
+            file=sys.stderr,
+        )
     arr = np.asarray([s for s, _ in matched])
     lab = np.asarray([l for _, l in matched])
     bona, spoof = arr[lab == 1], arr[lab == 0]

@@ -90,6 +90,9 @@ def test_roc_eer_degenerate_inputs():
     assert roc_eer(np.array([]), np.array([])) == 50.0
     assert roc_eer(np.array([1.0, 2.0]), np.array([1, 1])) == 50.0
     assert roc_eer(np.array([np.nan, np.nan]), np.array([0, 1])) == 50.0
+    # constant model: all-equal scores must report chance level, not the
+    # 100% the raw DET sweep's tie-breaking would produce
+    assert roc_eer(np.full(10, 0.5), np.arange(10) % 2) == 50.0
 
 
 def test_roc_eer_separable():
