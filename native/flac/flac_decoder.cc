@@ -217,6 +217,10 @@ bool decode_subframe(BitReader& br, uint32_t blocksize, uint32_t bps,
     for (uint32_t i = 0; i < blocksize; ++i) out[i] = br.signed_bits(bps);
   } else if (type >= 8 && type <= 12) {  // fixed, order = type - 8
     uint32_t order = type - 8;
+    // crafted frames can pair a tiny blocksize (1-3) with order 4: the
+    // warmup write below would overflow the blocksize-sized buffer
+    // (the LPC branch has the same guard)
+    if (order > blocksize) return false;
     for (uint32_t i = 0; i < order; ++i) out[i] = br.signed_bits(bps);
     std::vector<int64_t> res(blocksize);
     if (!decode_residual(br, blocksize, order, res.data())) return false;

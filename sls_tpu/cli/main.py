@@ -41,8 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-6)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     # encoder
-    p.add_argument("--cp_path", type=str, default="xlsr2_300m.pt",
-                   help="pretrained XLS-R checkpoint (fairseq .pt or .npz)")
+    p.add_argument("--cp_path", type=str, default=None,
+                   help="pretrained XLS-R checkpoint (fairseq .pt, HF "
+                   "export, or .npz); when omitted, ./xlsr2_300m.pt is "
+                   "auto-used if present (reference default name). An "
+                   "explicitly given path that doesn't exist is an error")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no_bf16", dest="bf16", action="store_false")
     p.add_argument("--remat", action="store_true",
@@ -359,15 +362,21 @@ def main(argv=None) -> int:
     else:
         from sls_tpu.train.loop import Trainer as TrainerCls
 
-    if args.model_type == "sls":
-        trainer = TrainerCls(cfg, run_dir)
-    else:
-        trainer = TrainerCls(cfg, run_dir, profile_steps=args.profile_steps)
+    trainer = TrainerCls(cfg, run_dir, profile_steps=args.profile_steps)
     trainer.init_state(np.zeros((2, cfg.train.cut_length), np.float32))
 
-    # pretrained encoder weights
-    if args.cp_path and Path(args.cp_path).exists():
-        enc_params = load_pretrained_encoder(args.cp_path, cfg.model.encoder)
+    # pretrained encoder weights: an explicit --cp_path that doesn't
+    # exist is a hard error (a typo must not silently launch a multi-day
+    # run on a random 300M encoder); with no flag, the reference's
+    # default checkpoint name is auto-used when present
+    cp_path = args.cp_path
+    if cp_path and not Path(cp_path).exists():
+        print(f"ERROR: --cp_path checkpoint not found: {cp_path}")
+        return 2
+    if not cp_path and Path("xlsr2_300m.pt").exists():
+        cp_path = "xlsr2_300m.pt"
+    if cp_path:
+        enc_params = load_pretrained_encoder(cp_path, cfg.model.encoder)
         params = dict(trainer.state.params)
         params["encoder"] = enc_params
         from sls_tpu.parallel.mesh import replicate
@@ -375,9 +384,20 @@ def main(argv=None) -> int:
         trainer.state = trainer.state.replace(
             params=replicate(params, trainer.mesh)
         )
-        print(f"loaded pretrained encoder from {args.cp_path}")
+        print(f"loaded pretrained encoder from {cp_path}")
+    elif not args.is_eval:
+        print("WARNING: no pretrained encoder (--cp_path): training from "
+              "a RANDOMLY INITIALIZED XLS-R encoder")
 
-    resumed = trainer.resume(args.model_path, fresh_start=args.fresh_start)
+    # resume only when asked (--resume / --model_path), or for eval runs
+    # which need trained weights; an old checkpoint in the run dir must
+    # not silently hijack a fresh training launch
+    want_resume = bool(args.resume or args.model_path or args.is_eval)
+    resumed = (
+        trainer.resume(args.model_path, fresh_start=args.fresh_start)
+        if want_resume
+        else False
+    )
     if resumed:
         print(f"resumed at epoch {trainer.start_epoch}")
 

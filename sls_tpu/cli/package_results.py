@@ -39,13 +39,22 @@ def package(run_dir: str, out_root: str, extra_files=()) -> Path:
     rows = read_log(run_dir)
     lines = [f"# Results package — {date}", "", f"Source run: `{run}`", ""]
     if rows:
-        best = min(rows, key=lambda r: float(r["val_eer"]))
-        lines += [
-            f"- epochs trained: {len(rows)}",
-            f"- best val EER: {float(best['val_eer']):.4f}% "
-            f"(epoch {best['epoch']})",
-            f"- final train loss: {rows[-1]['train_loss']}",
-        ]
+        lines.append(f"- epochs trained: {len(rows)}")
+        # a crashed run can leave partial/non-numeric CSV rows — package
+        # what's parseable rather than aborting half-built (same guard
+        # as cli/monitor.py)
+        try:
+            numeric = [r for r in rows if r.get("val_eer")]
+            best = min(numeric, key=lambda r: float(r["val_eer"]))
+            lines.append(
+                f"- best val EER: {float(best['val_eer']):.4f}% "
+                f"(epoch {best['epoch']})"
+            )
+        except (ValueError, KeyError):
+            lines.append("- best val EER: unavailable (malformed log rows)")
+        final_loss = rows[-1].get("train_loss", "")
+        if final_loss:
+            lines.append(f"- final train loss: {final_loss}")
     lines += ["", "## Files", ""] + [f"- {name}" for name in sorted(copied)]
     (dest / "SUMMARY.md").write_text("\n".join(lines) + "\n")
     return dest

@@ -100,7 +100,9 @@ def run_parity(checkpoint: str, fmt: str = "auto", wav_path: str = None,
     final_diff = np.abs(out - ref).max()
     scale = np.abs(ref).mean()
     print(f"final max|Δ|: {final_diff:.3e} (ref mean |x|: {scale:.3e})")
-    ok = final_diff < tolerance * max(scale, 1.0) * 10
+    # --tolerance means what it says: relative to the reference scale,
+    # no hidden slack factor
+    ok = final_diff < tolerance * max(scale, 1.0)
     for name, act in stages.items():
         if name == "final":
             continue

@@ -326,7 +326,10 @@ class SelfAttention(nn.Module):
             # custom VJP); training keeps the XLA path below.
             from sls_tpu.kernels.attention import fused_attention
 
-            ctx = fused_attention(q * (D ** -0.5), k, v).reshape(B, T, C)
+            ctx = fused_attention(
+                q * (D ** -0.5), k, v,
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(B, T, C)
             return proj("out_proj")(ctx)
 
         scores = jnp.einsum("bthd,bshd->bhts", q * (D ** -0.5), k)

@@ -67,8 +67,16 @@ def _base_args(root, run_root):
         "--model_dir", str(run_root),
         "--batch_size", "8", "--num_epochs", "1", "--lr", "1e-3",
         "--sae_dict_size", "256", "--sae_k", "32",
-        "--algo", "0", "--cp_path", "/nonexistent.pt",
+        "--algo", "0",  # no --cp_path: random tiny encoder (an explicit
+        # nonexistent path is now a hard error — see test below)
     ]
+
+
+def test_explicit_missing_cp_path_is_an_error(tmp_path):
+    from sls_tpu.cli.main import main
+
+    assert main(["--tiny", "--model_dir", str(tmp_path),
+                 "--cp_path", "/nonexistent.pt"]) == 2
 
 
 def test_config_from_args_variants():
