@@ -147,8 +147,11 @@ def extract_windows(
 # jitted forward per MODEL, not per call: a fresh @jax.jit closure per
 # utterance would re-trace and re-compile for every single clip (hours
 # of pure recompilation over an In-the-Wild-scale set).  Keyed on the
-# model object itself (held strongly, so ids can't be recycled).
+# model object itself (held strongly, so ids can't be recycled); bounded
+# so a checkpoint sweep constructing many models can't accumulate
+# unbounded compiled programs.
 _FWD_CACHE: Dict[int, tuple] = {}
+_FWD_CACHE_MAX = 4
 
 
 def _scoring_fwd(model):
@@ -160,6 +163,8 @@ def _scoring_fwd(model):
     def fwd(params, w):
         return model.apply({"params": params}, w, train=False)["score"]
 
+    while len(_FWD_CACHE) >= _FWD_CACHE_MAX:  # FIFO eviction
+        _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
     _FWD_CACHE[id(model)] = (model, fwd)
     return fwd
 
@@ -216,14 +221,12 @@ def score_utterances_streamed(
     device steps and exactly one program is compiled.
 
     audio_iter yields (utt_id, waveform) pairs; yields (utt_id, score)
-    in completion order.
+    in SUBMISSION order (a long head utterance delays later finished
+    ones — keeps score files deterministic and memory bounded by the
+    longest clip).
     """
     stride = stride or window // 2
-
-    @jax.jit
-    def fwd(params, w):
-        return model.apply({"params": params}, w, train=False)["score"]
-
+    fwd = _scoring_fwd(model)  # compiled once per model, cached
     agg = {"mean": np.mean, "min": np.min, "max": np.max}[aggregate]
 
     pending_windows = []  # list of (utt_id, window array)

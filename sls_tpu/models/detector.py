@@ -40,9 +40,7 @@ class Detector(nn.Module):
         cfg = self.config
         self.encoder = XLSREncoder(cfg.encoder, name="encoder")
         if cfg.use_sae:
-            import jax.numpy as _jnp
-
-            sae_dtype = _jnp.bfloat16 if cfg.sae.bf16 else _jnp.float32
+            sae_dtype = jnp.bfloat16 if cfg.sae.bf16 else jnp.float32
             self.sae = TopKSAE(cfg.sae, dtype=sae_dtype, name="sae")
         if cfg.use_cpc and cfg.use_sae:
             self.cpc = CPCHead(cfg.cpc, name="cpc")

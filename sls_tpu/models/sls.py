@@ -35,6 +35,11 @@ class SLSDetector(nn.Module):
     def __call__(self, wav: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         encoder = XLSREncoder(self.config.encoder, name="encoder")
         final, hiddens = encoder(wav, train=train, return_hidden_states=True)
+        if self.config.freeze_encoder:
+            # honored like Detector (detector.py): the 'frozen XLS-R +
+            # SLS head' baseline must not fine-tune the encoder
+            final = jax.lax.stop_gradient(final)
+            hiddens = [jax.lax.stop_gradient(h) for h in hiddens]
         stacked = jnp.stack(hiddens, axis=0)  # [L, B, T, C]
         log_probs = SLSHead(name="sls_head")(stacked, train=train)
         return {
@@ -61,11 +66,15 @@ def create_sls_train_state(
         )
     )
     variables = init_fn(rng)
+    from sls_tpu.train.steps import trainable_decay_mask
+
     return SLSTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
-        tx=make_optimizer(cfg.train.lr, cfg.train.weight_decay),
+        tx=make_optimizer(
+            cfg.train.lr, cfg.train.weight_decay, trainable_decay_mask(cfg)
+        ),
     )
 
 
@@ -153,6 +162,22 @@ class _GateProbe(nn.Module):
         return gate[..., 0]  # [L, B]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _gate_probe_fwd(config: ModelConfig):
+    """Jitted gate probe cached per config — a fresh jit per call would
+    re-compile the 300M encoder every time (minutes per call)."""
+    probe = _GateProbe(config)
+
+    @jax.jit
+    def f(p, w):
+        return probe.apply({"params": p}, w)
+
+    return f
+
+
 def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
     """Which encoder layers does the SLS head consider sensitive?
 
@@ -163,14 +188,11 @@ def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
     """
     import numpy as np
 
-    probe = _GateProbe(model.config)
     probe_params = {
         "encoder": params["encoder"],
         "fc0": params["sls_head"]["fc0"],
     }
-    gates = np.asarray(
-        jax.jit(lambda p, w: probe.apply({"params": p}, w))(probe_params, wav)
-    )
+    gates = np.asarray(_gate_probe_fwd(model.config)(probe_params, wav))
     return {
         "mean_gate_per_layer": gates.mean(axis=1).tolist(),
         "std_gate_per_layer": gates.std(axis=1).tolist(),

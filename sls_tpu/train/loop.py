@@ -323,6 +323,12 @@ class BaseTrainer:
                 self._nonfinite_batches += 1
                 print(f"WARNING: non-finite loss at batch {b_idx} "
                       f"(epoch {epoch}); update rejected", flush=True)
+                # the profiler stop below must still run — a diverged
+                # run would otherwise keep tracing to epoch end
+                if profiling and b_idx >= self.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self._profiled = True
                 continue
             # Per-batch accumulation touches only LOCAL data — scores
             # come back via local_rows (this host's shard of the
@@ -395,6 +401,10 @@ class BaseTrainer:
                     self.cfg.train.loss_weights,
                 )
             ) * bsz
+            # known approximation: sae_loss is the step's mean over the
+            # PADDED batch (tail-fill rows duplicate real rows), so a
+            # partial final batch weights duplicates slightly; telemetry
+            # only — eer/acc/loss are masked exactly via `v`
             sae_sum += float(out.get("sae_loss", 0.0)) * bsz
             correct += float((np.argmax(logp[v], -1) == batch_labels[v]).sum())
             scores_all.append(s[v])

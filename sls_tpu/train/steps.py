@@ -32,14 +32,45 @@ class TrainState(train_state.TrainState):
     (base_rng, step) so resume is deterministic."""
 
 
-def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
-    """torch.optim.Adam(lr, weight_decay) equivalent (L2-on-grad, not AdamW)."""
+def make_optimizer(
+    lr: float,
+    weight_decay: float,
+    decay_mask=None,
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent (L2-on-grad, not AdamW).
+
+    ``decay_mask``: optional bool pytree (or params->pytree callable)
+    selecting which params receive weight decay.  Frozen params MUST be
+    excluded: their gradients are exactly zero (stop_gradient), so Adam
+    leaves them untouched — but unmasked decay would inject wd*p as the
+    gradient, which Adam normalizes to a ~sign(p)*lr drift per step,
+    progressively corrupting a "frozen" encoder (torch Adam skips
+    requires_grad=False params entirely).
+    """
     transforms = []
     if weight_decay:
-        transforms.append(optax.add_decayed_weights(weight_decay))
+        wd = optax.add_decayed_weights(weight_decay)
+        if decay_mask is not None:
+            wd = optax.masked(wd, decay_mask)
+        transforms.append(wd)
     transforms.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     transforms.append(optax.scale(-lr))
     return optax.chain(*transforms)
+
+
+def trainable_decay_mask(cfg: ExperimentConfig):
+    """Decay mask honoring ``freeze_encoder``: None when nothing is
+    frozen (decay everything), else a callable masking the encoder."""
+    if not cfg.model.freeze_encoder:
+        return None
+
+    def mask(params):
+        return {
+            k: jax.tree.map(lambda _: k != "encoder", v)
+            for k, v in params.items()
+        }
+
+    return mask
 
 
 def create_train_state(
@@ -60,7 +91,9 @@ def create_train_state(
         )
     )
     variables = init_fn(rng)
-    tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay)
+    tx = make_optimizer(
+        cfg.train.lr, cfg.train.weight_decay, trainable_decay_mask(cfg)
+    )
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx
     )

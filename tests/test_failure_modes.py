@@ -133,6 +133,86 @@ def test_frozen_encoder_stops_gradient():
     assert sae_norm > 0.0  # SAE still learns
 
 
+def test_frozen_encoder_untouched_by_weight_decay():
+    """Regression: unmasked add_decayed_weights used to inject wd*p as
+    the gradient of stop_gradient'd params, which Adam normalized to a
+    ~sign(p)*lr drift per step — the 'frozen' encoder slowly corrupted.
+    torch Adam skips requires_grad=False params entirely; so must we."""
+    import dataclasses
+
+    import numpy as np
+
+    from sls_tpu.config import ExperimentConfig, TrainConfig
+    from sls_tpu.models.detector import Detector
+    from sls_tpu.train.steps import create_train_state, make_train_step
+    from tests.test_detector_train import WAV_LEN, tiny_model_config
+
+    cfg = ExperimentConfig(
+        model=tiny_model_config(freeze_encoder=True),
+        train=TrainConfig(batch_size=4, lr=1e-2, weight_decay=1e-2,
+                          cut_length=WAV_LEN),
+    )
+    model = Detector(cfg.model)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (4, WAV_LEN)) * 0.1
+    labels = jnp.asarray([0, 1, 0, 1])
+    valid = jnp.ones(4, bool)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(1), wav[:2])
+    before_enc = jax.device_get(state.params["encoder"])
+    before_sae = jax.device_get(state.params["sae"])
+    step = make_train_step(model, cfg, mesh=None)
+    state, metrics = step(state, wav, labels, valid, jax.random.PRNGKey(2))
+    after_enc = jax.device_get(state.params["encoder"])
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(after_enc),
+        jax.tree_util.tree_leaves_with_path(before_enc),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    # the unfrozen parts DID move
+    after_sae = jax.device_get(state.params["sae"])
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(after_sae),
+                        jax.tree.leaves(before_sae))
+    )
+
+
+def test_sls_freeze_encoder_honored():
+    """SLSDetector must stop encoder gradients under freeze_encoder
+    (the 'frozen XLS-R + SLS head' baseline, reference README.md:84)."""
+    import dataclasses
+
+    from sls_tpu.models.sls import SLSDetector
+    from sls_tpu.train.loss import weighted_nll
+    from tests.test_detector_train import WAV_LEN, tiny_model_config
+
+    cfg = tiny_model_config(freeze_encoder=True)
+    model = SLSDetector(cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, WAV_LEN)) * 0.1
+    labels = jnp.asarray([0, 1])
+    variables = model.init(jax.random.PRNGKey(1), wav)
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables.get("batch_stats", {})},
+            wav, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return weighted_nll(out["log_probs"], labels)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    enc_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["encoder"])
+    )
+    head_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["sls_head"])
+    )
+    assert enc_norm == 0.0
+    assert head_norm > 0.0
+
+
 def test_resample_poly():
     from sls_tpu.data.audio import resample_to_16k
 
