@@ -37,10 +37,11 @@ BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    # batch 112 measured fastest on v5e (735 vs 644 utts/s at 128; swept
-    # 64..256, docs/BENCH_NOTES_r2.json batch_sweep) — B*T = 112*202
-    # rows tile the 24-layer transformer's GEMMs better than 128*202
-    parser.add_argument("--batch", type=int, default=112)
+    # batch 108 measured fastest on v5e: 775.7 utts/s vs 735 at b112 and
+    # 644 at b128 (swept 64..256 plus a fine scan 100..120 — jagged
+    # curve, specific sizes hit favorable XLA tilings; three b108 runs
+    # reproduced within 0.1%: docs/BENCH_NOTES_r2.json batch_sweep)
+    parser.add_argument("--batch", type=int, default=108)
     # 16 x ~154 ms ≈ 2.5 s of steady-state per mode: relay run-to-run
     # jitter at 8 iters was ~±5%, halved at 16
     parser.add_argument("--iters", type=int, default=16)
