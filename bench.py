@@ -37,11 +37,13 @@ BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    # batch 108 measured fastest on v5e: 775.7 utts/s vs 735 at b112 and
-    # 644 at b128 (swept 64..256 plus a fine scan 100..120 — jagged
-    # curve, specific sizes hit favorable XLA tilings; three b108 runs
-    # reproduced within 0.1%: docs/BENCH_NOTES_r2.json batch_sweep)
-    parser.add_argument("--batch", type=int, default=108)
+    # batch 36 measured fastest on v5e: ~869 utts/s vs 824 at b54, 776
+    # at b108, 644 at b128 (swept 16..256 with fine scans — the curve
+    # is jagged and favors small batches: the [B,16,202,202] fp32
+    # attention scores' working set shrinks below HBM-pressure
+    # thresholds while the GEMMs stay wide enough.  b36 reproduced at
+    # 869.5/867.9; full sweep: docs/BENCH_NOTES_r2.json batch_sweep)
+    parser.add_argument("--batch", type=int, default=36)
     # 16 x ~154 ms ≈ 2.5 s of steady-state per mode: relay run-to-run
     # jitter at 8 iters was ~±5%, halved at 16
     parser.add_argument("--iters", type=int, default=16)
