@@ -215,9 +215,13 @@ def semantic_drift(
         s = unit.sum(axis=0)
         n_unit = float((norms[:, 0] > 0).sum())  # sum of unit norms^2
         scores.append(float((s @ s - n_unit) / (n * (n - 1))))
-    mean = sum(scores) / (len(scores) + 1e-8)
+    if not scores:
+        # No feature occurs in >=2 windows: as uninformative as n_win<1
+        # above — report the same neutral value, not the 0.0 extreme.
+        return {"semantic_consistency": 1.0, "n_windows": float(n_win),
+                "num_features_analyzed": 0.0}
     return {
-        "semantic_consistency": float(mean),
+        "semantic_consistency": float(sum(scores) / len(scores)),
         "n_windows": float(n_win),
         "num_features_analyzed": float(len(scores)),
     }

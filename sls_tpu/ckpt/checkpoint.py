@@ -110,6 +110,7 @@ class CheckpointManager:
         self.config_json = config_json
         self.best_metric: Optional[float] = None
         self._writer = None  # in-flight async write thread
+        self._writer_error: Optional[BaseException] = None
         self._load_best_metric()
 
     @property
@@ -174,19 +175,38 @@ class CheckpointManager:
             import threading
 
             host_tree = _to_host(state_tree)  # sync fetch: see docstring
-            self.wait()
+            self.wait()  # raises if the PREVIOUS async write failed
+
+            def guarded_write(tree):
+                try:
+                    write(tree)
+                except BaseException as e:  # surfaced by the next wait()
+                    self._writer_error = e
+
             self._writer = threading.Thread(
-                target=write, args=(host_tree,), daemon=True,
+                target=guarded_write, args=(host_tree,), daemon=True,
                 name="ckpt-writer",
             )
             self._writer.start()
         return improved
 
     def wait(self) -> None:
-        """Join any in-flight async checkpoint write."""
+        """Join any in-flight async checkpoint write.
+
+        Re-raises an exception from the background writer (ENOSPC, NFS
+        error, …): a silent failure would leave last/best stale while
+        ``best_metric`` has already advanced, so the epoch would never
+        be re-promoted.  Callers (next save_epoch / fit-exit /
+        resolve_resume) must see the failure."""
         if self._writer is not None:
             self._writer.join()
             self._writer = None
+        if self._writer_error is not None:
+            err, self._writer_error = self._writer_error, None
+            raise RuntimeError(
+                "async checkpoint write failed; last/best on disk may be "
+                "stale"
+            ) from err
 
     def resolve_resume(
         self, explicit: Optional[PathLike] = None

@@ -261,3 +261,160 @@ def torch_sls_forward(
         x = F.linear(x, T_(head_state["fc3.weight"]), T_(head_state["fc3.bias"]))
         x = F.selu(x)
         return F.log_softmax(x, dim=1).numpy()
+
+
+def make_detector_state(
+    cfg: XLSRConfig,
+    dict_size: int = 4096,
+    k: int = 128,
+    classifier_hidden: int = 256,
+    use_sparse_features: bool = True,
+    seed: int = 0,
+    weight_scale: float = 0.2,
+) -> Dict[str, np.ndarray]:
+    """Random full-detector state dict with REFERENCE checkpoint naming
+    (the 'model' entry of main.py:753-764 dict checkpoints):
+    ``ssl_model.model.*`` fairseq encoder + ``sae.*`` AutoEncoderTopK
+    (model.py:42-104) + ``classifier.{0,1,4}.*`` Sequential
+    (model.py:183-189).  Consumable by convert.detector_state_to_flax
+    and by torch_detector_forward below."""
+    rng = np.random.default_rng(seed + 1)
+    D = cfg.embed_dim
+
+    enc = make_fairseq_state(cfg, seed=seed, weight_scale=weight_scale)
+    s = {f"ssl_model.model.{key}": v for key, v in enc.items()}
+
+    # reference SAE init: unit-norm decoder atoms, tied encoder
+    # (model.py:56-66); random directions here — it's a golden harness
+    w_dec = rng.normal(size=(D, dict_size)).astype(np.float32)
+    w_dec /= np.linalg.norm(w_dec, axis=0, keepdims=True)  # [D, M]
+    s["sae.decoder.weight"] = w_dec  # torch Linear(M, D): [D, M]
+    s["sae.encoder.weight"] = w_dec.T.copy()  # Linear(D, M): [M, D]
+    s["sae.encoder.bias"] = (
+        rng.normal(size=dict_size) * 0.02).astype(np.float32)
+    s["sae.b_dec"] = (rng.normal(size=D) * 0.02).astype(np.float32)
+    s["sae.k"] = np.asarray(k, np.int64)
+
+    cls_in = dict_size if use_sparse_features else D
+    s["classifier.0.weight"] = (
+        1.0 + rng.normal(size=cls_in) * 0.05).astype(np.float32)
+    s["classifier.0.bias"] = (
+        rng.normal(size=cls_in) * 0.05).astype(np.float32)
+    s["classifier.1.weight"] = (
+        rng.normal(size=(classifier_hidden, cls_in))
+        / np.sqrt(cls_in)).astype(np.float32)
+    s["classifier.1.bias"] = (
+        rng.normal(size=classifier_hidden) * 0.02).astype(np.float32)
+    s["classifier.4.weight"] = (
+        rng.normal(size=(2, classifier_hidden))
+        / np.sqrt(classifier_hidden)).astype(np.float32)
+    s["classifier.4.bias"] = (rng.normal(size=2) * 0.02).astype(np.float32)
+    return s
+
+
+def _np_topk_mask(scores: np.ndarray, k: int) -> np.ndarray:
+    idx = np.argsort(-scores, axis=-1, kind="stable")[..., :k]
+    mask = np.zeros_like(scores)
+    np.put_along_axis(mask, idx, 1.0, axis=-1)
+    return mask
+
+
+def _np_sae_sparsify(
+    acts: np.ndarray, k: int, variant: str, window_size: int
+) -> np.ndarray:
+    """Reference TopK rules in loop form (model.py:73-77,
+    model_window_topk.py:118-203, model_cpc.py:118-164)."""
+    if variant == "per_timestep":
+        return acts * _np_topk_mask(acts, k)
+    B, T, Dm = acts.shape
+    w = window_size
+    if variant == "window_hard":
+        pad = (w - T % w) % w
+        xp = np.pad(acts, ((0, 0), (0, pad), (0, 0)))
+        out = np.zeros_like(xp)
+        for i in range((T + pad) // w):
+            seg = xp[:, i * w:(i + 1) * w]
+            mask = _np_topk_mask(seg.sum(axis=1), k)
+            out[:, i * w:(i + 1) * w] = seg * mask[:, None, :]
+        return out[:, :T]
+    if variant == "window_overlap":
+        s = max(1, w // 2)
+        if s >= T:
+            nw, pad = 1, max(0, w - T)
+        else:
+            nw = (T - w) // s + 1
+            pad = max(0, (nw - 1) * s + w - T)
+        xp = np.pad(acts, ((0, 0), (0, pad), (0, 0)))
+        votes = np.zeros_like(xp)
+        for i in range(nw):
+            seg = xp[:, i * s:i * s + w]
+            mask = _np_topk_mask(seg.sum(axis=1), k)
+            votes[:, i * s:i * s + w] += seg * mask[:, None, :]
+        out = xp * _np_topk_mask(votes, k)
+        return out[:, :T]
+    raise ValueError(variant)
+
+
+def torch_detector_forward(
+    s: Dict[str, np.ndarray],
+    cfg: XLSRConfig,
+    wav: np.ndarray,
+    use_sparse_features: bool = True,
+    variant: str = "per_timestep",
+    window_size: int = 8,
+    return_stages: bool = False,
+):
+    """Torch/numpy-functional forward of the COMPLETE reference detector
+    (eval mode, dropout off): encoder -> centered SAE encode + TopK rule
+    -> decode -> mean-pool classifier -> log_softmax
+    (reference: model.py:195-260 forward, model.py:68-89 SAE,
+    model.py:182-189 classifier ordering).
+
+    Returns (log_probs [B,2], stages dict) when ``return_stages``; the
+    stages include codes/recon/sae_loss for elementwise goldens."""
+    import torch
+    import torch.nn.functional as F
+
+    T_ = torch.from_numpy
+
+    enc_state = {
+        key[len("ssl_model.model."):]: v
+        for key, v in s.items() if key.startswith("ssl_model.model.")
+    }
+    feats = torch_reference_forward(enc_state, cfg, wav)  # [B, T, C] np
+    k = int(np.asarray(s["sae.k"]))
+
+    with torch.no_grad():
+        x = T_(feats)
+        centered = x - T_(s["sae.b_dec"])
+        acts = F.relu(
+            F.linear(centered, T_(s["sae.encoder.weight"]),
+                     T_(s["sae.encoder.bias"]))
+        ).numpy()
+        codes = _np_sae_sparsify(acts, k, variant, window_size)
+        recon = F.linear(
+            T_(codes), T_(s["sae.decoder.weight"])
+        ) + T_(s["sae.b_dec"])
+        sae_loss = F.mse_loss(recon, x)  # model.py:225
+
+        cls_in = T_(codes) if use_sparse_features else recon
+        pooled = cls_in.mean(dim=1)  # AdaptiveAvgPool1d(1)
+        h = F.layer_norm(
+            pooled, (pooled.shape[-1],),
+            T_(s["classifier.0.weight"]), T_(s["classifier.0.bias"]),
+        )
+        h = F.relu(F.linear(h, T_(s["classifier.1.weight"]),
+                            T_(s["classifier.1.bias"])))
+        logits = F.linear(h, T_(s["classifier.4.weight"]),
+                          T_(s["classifier.4.bias"]))
+        log_probs = F.log_softmax(logits, dim=1).numpy()
+
+    if return_stages:
+        return log_probs, {
+            "features": feats,
+            "codes": codes,
+            "recon": recon.numpy(),
+            "sae_loss": float(sae_loss),
+            "score": np.exp(log_probs[:, 1]),
+        }
+    return log_probs

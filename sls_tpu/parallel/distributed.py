@@ -228,6 +228,13 @@ def merge_part_files(out_path) -> None:
     Call on EVERY host after each wrote its part (barrier inside); the
     primary concatenates in process order and removes the parts.
     No-op single-process (callers write ``out_path`` directly then).
+
+    REQUIRES SHARED STORAGE (same as checkpoint resume): the primary
+    opens every host's part file locally, so ``out_path`` must live on
+    a filesystem visible to all hosts (NFS/GCS-fuse).  On pods with
+    host-local disks, point ``--eval_output`` at shared storage; a
+    missing part raises with this explanation rather than a bare
+    FileNotFoundError after the whole eval has completed.
     """
     if jax.process_count() == 1:
         return
@@ -235,6 +242,17 @@ def merge_part_files(out_path) -> None:
     if is_primary():
         import shutil
 
+        missing = [
+            f"{out_path}.part{i}"
+            for i in range(jax.process_count())
+            if not os.path.exists(f"{out_path}.part{i}")
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"merge_part_files: missing {missing} — part files must "
+                "be written to storage shared by all hosts (NFS/GCS); "
+                "host-local disks cannot be merged by the primary."
+            )
         with open(out_path, "wb") as fout:
             for i in range(jax.process_count()):
                 part = f"{out_path}.part{i}"

@@ -401,11 +401,12 @@ class BaseTrainer:
                     self.cfg.train.loss_weights,
                 )
             ) * bsz
-            # known approximation: sae_loss is the step's mean over the
-            # PADDED batch (tail-fill rows duplicate real rows), so a
-            # partial final batch weights duplicates slightly; telemetry
-            # only — eer/acc/loss are masked exactly via `v`
-            sae_sum += float(out.get("sae_loss", 0.0)) * bsz
+            if "sae_loss_per_example" in out:
+                sae_sum += float(
+                    np.asarray(out["sae_loss_per_example"])[v].sum()
+                )
+            else:
+                sae_sum += float(out.get("sae_loss", 0.0)) * bsz
             correct += float((np.argmax(logp[v], -1) == batch_labels[v]).sum())
             scores_all.append(s[v])
             labels_all.append(batch_labels[v])

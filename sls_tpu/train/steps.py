@@ -198,11 +198,19 @@ def make_eval_step(
 
     def step(params, wav):
         out = model.apply({"params": params}, wav, train=False)
-        return {
+        res = {
             "score": out["score"],
             "log_probs": out["log_probs"],
             "sae_loss": out["sae_loss"],
         }
+        if "recon" in out:
+            # per-example MSE so validation can mask padded tail-fill
+            # rows exactly (masked mean of these == exact masked scalar)
+            diff = out["recon"].astype(jnp.float32) - out["features"]
+            res["sae_loss_per_example"] = jnp.mean(
+                jnp.square(diff), axis=(1, 2)
+            )
+        return res
 
     if mesh is None:
         return jax.jit(step)

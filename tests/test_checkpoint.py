@@ -117,3 +117,26 @@ def test_resume_chain(tmp_path):
     # best-only dir (last removed) falls back to best
     os.remove(mgr.last_path)
     assert mgr.resolve_resume().name == "best.ckpt"
+
+
+def test_async_write_failure_surfaces(tmp_path, monkeypatch):
+    """An exception on the background writer thread (ENOSPC, NFS error)
+    must be re-raised at the next wait()/save_epoch, not swallowed —
+    otherwise last/best silently go stale (ADVICE r2, medium)."""
+    import sls_tpu.ckpt.checkpoint as ck
+
+    mgr = CheckpointManager(tmp_path, config_json="{}")
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(ck, "save_checkpoint", boom)
+    mgr.save_epoch(_dummy_state(0), 0, {"val_eer": 10.0}, block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        mgr.wait()
+    # error is consumed once; manager is usable again
+    monkeypatch.undo()
+    assert not (tmp_path / "last.ckpt").exists()
+    mgr.save_epoch(_dummy_state(1), 1, {"val_eer": 9.0}, block=False)
+    mgr.wait()
+    assert (tmp_path / "last.ckpt").exists()

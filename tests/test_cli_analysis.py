@@ -170,3 +170,55 @@ class TestStandaloneScorer:
         # exactly one of protocol / metadata must be given
         with pytest.raises(SystemExit):
             standalone_main([str(score_file)])
+
+
+class TestAutotrainPolicy:
+    """Failure discrimination: config errors fail fast, crashes retry
+    only while the log advances (reference slurm semantics:
+    train_window_topk.slurm:75-92 resubmits only after walltime kills,
+    never on a misconfigured job)."""
+
+    @staticmethod
+    def _write_log(run_dir, epochs):
+        run_dir.mkdir(parents=True, exist_ok=True)
+        lines = ["epoch,val_eer"] + [f"{e},1.0" for e in range(epochs)]
+        (run_dir / "training_log.csv").write_text("\n".join(lines) + "\n")
+
+    def _run(self, monkeypatch, tmp_path, side_effect, **kw):
+        from sls_tpu.cli import autotrain
+        import subprocess as sp
+
+        calls = []
+
+        def fake_run(cmd, **_):
+            calls.append(cmd)
+            rc = side_effect(len(calls), tmp_path / "run")
+            return sp.CompletedProcess(cmd, rc)
+
+        monkeypatch.setattr(autotrain.subprocess, "run", fake_run)
+        monkeypatch.setattr(autotrain.time, "sleep", lambda _: None)
+        argv = ["--target_epoch", "3", "--run_dir", str(tmp_path / "run"),
+                *[str(a) for pair in kw.items() for a in pair],
+                "--", "--num_epochs", "4"]
+        argv = [a.replace("max_no_progress", "--max_no_progress")
+                for a in argv]
+        rc = autotrain.main(argv)
+        return rc, len(calls)
+
+    def test_config_error_fails_fast(self, monkeypatch, tmp_path):
+        rc, n = self._run(monkeypatch, tmp_path, lambda i, d: 2)
+        assert rc == 2 and n == 1  # argparse error: no retry burn
+
+    def test_no_progress_crashes_give_up(self, monkeypatch, tmp_path):
+        rc, n = self._run(monkeypatch, tmp_path, lambda i, d: 1)
+        assert rc == 1 and n == 3  # default max_no_progress
+
+    def test_walltime_style_crashes_retry_to_target(
+        self, monkeypatch, tmp_path
+    ):
+        def crash_but_progress(i, run_dir):
+            self._write_log(run_dir, epochs=i + 1)  # advances every try
+            return -9 if i < 3 else 0  # SIGKILL-style, then clean
+
+        rc, n = self._run(monkeypatch, tmp_path, crash_but_progress)
+        assert rc == 0 and n == 3  # epoch 3 logged on the 3rd attempt

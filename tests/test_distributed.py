@@ -87,7 +87,13 @@ def test_two_process_training_lockstep(tmp_path):
     checkpoint/CSV files, and a merged score file covering both hosts'
     disjoint eval shards.
     """
-    port = "29517"
+    # ephemeral port: a hardcoded one collides with concurrent runs /
+    # leftover processes and hangs until the 900 s subprocess timeout
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = {k: v for k, v in os.environ.items()}
     env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
     procs = [

@@ -111,3 +111,79 @@ def test_full_topology_bf16_characterization(full_state_and_wav):
     # the gate leaves headroom
     assert rel_mean < 0.03, f"bf16 relative mean-abs {rel_mean:.4f}"
     assert rel_max < 0.2, f"bf16 relative max-abs {rel_max:.4f}"
+
+
+@pytest.mark.parametrize("variant", ["per_timestep", "window_overlap"])
+def test_full_detector_topology_parity(variant):
+    """Elementwise golden of the COMPLETE flagship detector at the real
+    topology (24L/1024 encoder + SAE dict4096/k128 + classifier) vs the
+    torch-functional reference composition (reference: model.py:195-260
+    forward; model_window_topk.py:324-393 for the window variant).
+
+    This is the single end-to-end equivalence the per-component goldens
+    can't give: codes, reconstruction, sae_loss, scores in one pass.
+
+    For the window variant the wav length is chosen so every frame is
+    covered by at least one 50%-overlap window (T ≡ 0 mod w/2): on
+    UNcovered tail frames the reference's torch form emits arbitrary
+    zero-vote tie-break junk — the documented short-sequence bug this
+    repo fixes by zeroing (tests/test_sae.py::test_uncovered_tail_is_
+    zeroed) — so elementwise parity is only defined on covered frames."""
+    import jax.numpy as jnp
+
+    from sls_tpu.config import ModelConfig, SAEConfig
+    from sls_tpu.encoder.convert import detector_state_to_flax
+    from sls_tpu.encoder.torch_ref import (
+        make_detector_state,
+        torch_detector_forward,
+    )
+    from sls_tpu.models.detector import Detector
+
+    enc_cfg = full_config()
+    # trained-like scale (see bf16 test above): keeps activations O(1)
+    # so elementwise tolerances measure implementation, not overflow
+    state = make_detector_state(
+        enc_cfg, dict_size=4096, k=128, seed=3,
+        weight_scale=1.0 / np.sqrt(enc_cfg.embed_dim),
+    )
+    wav_len = WAV_LEN
+    if variant == "window_overlap":
+        while enc_cfg.num_frames(wav_len) % 4 != 0:
+            wav_len += 80
+    rng = np.random.default_rng(17)
+    wav = rng.normal(0, 0.2, size=(2, wav_len)).astype(np.float32)
+
+    golden_logp, stages = torch_detector_forward(
+        state, enc_cfg, wav, variant=variant, window_size=8,
+        return_stages=True,
+    )
+
+    mcfg = ModelConfig(
+        encoder=enc_cfg,
+        sae=SAEConfig(dict_size=4096, k=128, variant=variant,
+                      window_size=8),
+    )
+    params = detector_state_to_flax(state, mcfg)
+    model = Detector(mcfg)
+    out = model.apply({"params": params}, jnp.asarray(wav), train=False)
+
+    feats = np.asarray(out["features"])
+    scale = float(np.abs(stages["features"]).mean())
+    assert np.abs(feats - stages["features"]).max() / scale < 5e-3
+
+    codes = np.asarray(out["codes"])
+    # identical support (same features selected) and matching values
+    assert ((codes > 0) == (stages["codes"] > 0)).mean() > 0.9999
+    both = (codes > 0) & (stages["codes"] > 0)
+    cscale = float(np.abs(stages["codes"][both]).mean()) or 1.0
+    assert np.abs((codes - stages["codes"])[both]).max() / cscale < 5e-3
+
+    rscale = float(np.abs(stages["recon"]).mean())
+    assert (np.abs(np.asarray(out["recon"]) - stages["recon"]).max()
+            / rscale < 5e-3)
+    assert float(out["sae_loss"]) == pytest.approx(
+        stages["sae_loss"], rel=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["log_probs"]), golden_logp, rtol=0, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["score"]), stages["score"], rtol=0, atol=5e-3)

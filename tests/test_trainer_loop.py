@@ -103,3 +103,22 @@ def test_produce_scores(run, tmp_path):
     # scores should separate the synthetic classes at least weakly
     eer = roc_eer(scores, np.asarray(labels))
     assert eer < 50.0
+
+
+def test_validate_partial_batch_sae_loss_masked(run):
+    """sae_loss must be masked over padded tail-fill rows: validating
+    N examples must give the same sae_loss whether the final batch is
+    full or partial (VERDICT r2 weak #6)."""
+    trainer, _, _, _ = run
+    rng = np.random.default_rng(3)
+    wav, y = synthetic_batch(rng, 20)
+    wav, y = np.asarray(wav), np.asarray(y)
+    full = ArrayLoader(wav, y, batch_size=10)      # 2 full batches
+    ragged = ArrayLoader(wav, y, batch_size=8)     # 8+8+4: padded tail
+    m_full = trainer.validate(full)
+    m_ragged = trainer.validate(ragged)
+    assert m_full.sae_loss == pytest.approx(m_ragged.sae_loss, rel=1e-4)
+    # (cls loss is NOT asserted: weighted NLL is weight-normalized per
+    # batch — reference semantics, main.py:118-126 — so it legitimately
+    # varies with batch composition)
+    assert m_full.eer == pytest.approx(m_ragged.eer, abs=1e-9)
