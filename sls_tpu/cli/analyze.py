@@ -103,11 +103,25 @@ def cmd_temporal(args, cfg, model, params, loader):
     from sls_tpu.analysis.temporal import multi_scale_structure, temporal_summary
 
     codes, _, _ = _collect_codes(model, params, loader, args.num_samples)
+    w = cfg.model.sae.window_size
     report = {
-        "summary": temporal_summary(codes, cfg.model.sae.window_size),
+        "summary": temporal_summary(codes, w),
         "multi_scale": multi_scale_structure(codes),
         "num_samples": int(codes.shape[0]),
     }
+    if args.figures:
+        from sls_tpu.analysis.temporal import (
+            jaccard_consecutive,
+            transient_persistent_split,
+        )
+        from sls_tpu.analysis.visualize import plot_temporal_stability
+
+        life = transient_persistent_split(codes, w)["lifetime"]
+        report["figures"] = [plot_temporal_stability(
+            jaccard_consecutive(codes), w,
+            Path(args.figures) / "temporal_stability.png",
+            lifetimes=life[life > 0],
+        )]
     return report
 
 
@@ -149,6 +163,16 @@ def cmd_attribution(args, cfg, model, params, loader):
             "features": global_top.tolist(),
             "mean_prob_drop": deltas.mean(0).tolist(),
         }
+    if args.figures:
+        from sls_tpu.analysis.visualize import plot_attribution_report
+
+        report["figures"] = [plot_attribution_report(
+            np.asarray(scores),
+            Path(args.figures) / "decision_relevance.png",
+            top_k=args.top_k,
+            consistency=report.get("cue_consistency"),
+            ablation=report.get("ablation"),
+        )]
     return report
 
 
@@ -167,6 +191,15 @@ def cmd_importance(args, cfg, model, params, loader):
             "most_discriminative_features"
         ].tolist()
         report["discriminative_scores"] = imp["discriminative_scores"].tolist()
+        if args.figures:
+            from sls_tpu.analysis.importance import per_feature_class_stats
+            from sls_tpu.analysis.visualize import plot_feature_statistics
+
+            report["figures"] = [plot_feature_statistics(
+                per_feature_class_stats(codes, labels),
+                Path(args.figures) / "feature_statistics.png",
+                top_k=args.top_k,
+            )]
     return report
 
 
@@ -175,13 +208,21 @@ def cmd_probe(args, cfg, model, params, loader):
 
     codes, wavs, _ = _collect_codes(model, params, loader, args.num_samples)
     out = acoustic_probe(codes, wavs, top_k=args.top_k)
-    return {
+    report = {
         prop: {
             "top_features": d["top_features"].tolist(),
             "top_correlations": d["top_correlations"].tolist(),
         }
         for prop, d in out.items()
     }
+    if args.figures:
+        from sls_tpu.analysis.visualize import plot_acoustic_probe
+
+        report["figures"] = [plot_acoustic_probe(
+            {k: v for k, v in report.items() if k != "figures"},
+            Path(args.figures) / "acoustic_probe.png",
+        )]
+    return report
 
 
 def cmd_handcrafted(args, cfg, model, params, loader):
@@ -292,6 +333,7 @@ def cmd_failure(args, cfg, model, params, loader):
     codes, wavs, labels = _collect_codes(model, params, loader,
                                          args.num_samples)
     report = {"spikes": transient_spike_stats(codes)}
+    correct = None
     if labels is not None:
         logp = np.asarray(
             jax.jit(
@@ -306,6 +348,30 @@ def cmd_failure(args, cfg, model, params, loader):
         report["discriminative_transients"] = discriminative_transients_probe(
             codes, labels
         )
+    if args.figures:
+        from sls_tpu.analysis.temporal import transient_persistent_split
+        from sls_tpu.analysis.visualize import (
+            plot_boundary_discontinuity,
+            plot_transient_persistent,
+        )
+
+        figdir = Path(args.figures)
+        dt = report.get("discriminative_transients")
+        thr = (dt["lifetime_threshold"] if dt
+               else float(np.median(
+                   transient_persistent_split(codes, 1.0)["lifetime"]) or 1.0))
+        report["figures"] = [
+            plot_boundary_discontinuity(
+                codes, cfg.model.sae.window_size,
+                figdir / "boundary_discontinuity_analysis.png",
+                correct=correct,
+            ),
+            plot_transient_persistent(
+                transient_persistent_split(codes, thr)["lifetime"], thr,
+                figdir / "transient_vs_persistent.png",
+                probe_acc=dt,
+            ),
+        ]
     return report
 
 
@@ -346,6 +412,10 @@ def build_parser():
     p.add_argument("--database_path", default=None)
     p.add_argument("--protocol", default=None)
     p.add_argument("--audio_ext", default="flac")
+    p.add_argument("--figures", default=None,
+                   help="directory for PNG dashboards (the reference "
+                        "scripts' figure outputs); emitted by temporal/"
+                        "attribution/importance/probe/failure")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic audio smoke run (no dataset needed)")
     p.add_argument("--seed", type=int, default=0)

@@ -178,10 +178,12 @@ class BatchLoader:
                 )
             if all_flac:
                 # single native call: parallel decode + pad/tile in C++
+                # (GIL-free; threads scale with host cores in production)
                 from sls_tpu.data.flac import decode_batch
 
                 wavs = decode_batch(
-                    [self.index.paths[i] for i in sel], self.cut, n_threads=2
+                    [self.index.paths[i] for i in sel], self.cut,
+                    n_threads=min(4, max(1, self.num_threads)),
                 )
             else:
                 wavs = np.stack(

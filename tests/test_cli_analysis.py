@@ -84,11 +84,43 @@ def test_analyze_attribution_with_ablation(tiny_run, tmp_path):
         "attribution", "--run_dir", run_dir, "--synthetic",
         "--num_samples", "8", "--batch_size", "8", "--top_k", "4",
         "--ablation", "--output", str(out),
+        "--figures", str(tmp_path / "figs"),
     ])
     assert rc == 0
     report = json.loads(out.read_text())
     assert "cue_consistency" in report
     assert len(report["ablation"]["features"]) == 4
+    assert (tmp_path / "figs" / "decision_relevance.png").exists()
+
+
+@pytest.mark.parametrize("command,pngs", [
+    ("temporal", ["temporal_stability.png"]),
+    ("importance", ["feature_statistics.png"]),
+    ("probe", ["acoustic_probe.png"]),
+    ("failure", ["boundary_discontinuity_analysis.png",
+                 "transient_vs_persistent.png"]),
+])
+def test_analyze_commands_emit_figures(tiny_run, tmp_path, command, pngs):
+    """Figure parity (VERDICT r2 #6): each analysis command writes the
+    reference script's PNG dashboard when --figures is given
+    (reference: analyze_decision_relevance.py:886,
+    visualize_transient_features.py, analyze_sae_neurons.py:245,
+    boundary_discontinuity_analysis.png)."""
+    run_dir, _ = tiny_run
+    figs = tmp_path / "figs"
+    out = tmp_path / f"{command}.json"
+    rc = analyze_main([
+        command, "--run_dir", run_dir, "--synthetic",
+        "--num_samples", "16", "--batch_size", "8",
+        "--output", str(out), "--figures", str(figs),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    for png in pngs:
+        assert (figs / png).exists(), png
+        assert (figs / png).stat().st_size > 1000
+    assert sorted(report["figures"]) == sorted(
+        str(figs / png) for png in pngs)
 
 
 def test_monitor_render(tiny_run):
