@@ -25,22 +25,25 @@ import sys
 import time
 
 
-def timed(fn, args, iters, batch, donate_chain=None):
-    """Pipelined timing; ``donate_chain`` threads output->input."""
+def _force(out):
+    """Force completion through a HOST FETCH: on relayed backends
+    block_until_ready returns before the device work is done (see
+    bench.py methodology); fetching a scalar reduction of one output
+    leaf bounds all prior in-order device work."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(jnp.sum(leaf)))
+
+
+def timed(fn, args, iters, batch):
+    """Pipelined timing: dispatch N, fetch only the last."""
+    _force(fn(*args))  # compile + warm
     start = time.time()
-    if donate_chain is None:
-        for _ in range(iters):
-            out = fn(*args)
-    else:
-        carry = args
-        for _ in range(iters):
-            out = fn(*carry)
-            carry = donate_chain(out, args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    for _ in range(iters):
+        out = fn(*args)
+    _force(out)
     elapsed = time.time() - start
     return batch * iters / elapsed, 1e3 * elapsed / (batch * iters)
 
@@ -85,12 +88,18 @@ def main(argv=None) -> int:
     valid = jnp.ones((B,), bool)
     key = jax.random.PRNGKey(0)
 
-    state = create_train_state(model, cfg, key, wav[:2])
-    params = state.params
+    # params only for the fwd/grad components; the full TrainState
+    # (Adam moments = +2.4 GB fp32) is created AFTER, otherwise the
+    # undonated grad outputs + resident moments OOM the 16 GB chip
+    init_fn = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, wav[:2],
+                             train=False)
+    )
+    params = init_fn(key)["params"]
     report = {"batch": B}
 
-    def run(name, fn, fargs, donate_chain=None):
-        ups, ms = timed(fn, fargs, args.iters, B, donate_chain)
+    def run(name, fn, fargs):
+        ups, ms = timed(fn, fargs, args.iters, B)
         report[name] = {"utts_per_sec": round(ups, 1),
                         "ms_per_utt": round(ms, 3)}
         print(f"# {name}: {ups:.1f} utts/s ({ms:.2f} ms/utt)",

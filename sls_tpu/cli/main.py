@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--full_utterance", action="store_true",
                    help="score variable-length audio with overlapping "
                         "windows instead of the fixed 64,600-sample crop")
+    p.add_argument("--unwindowed", action="store_true",
+                   help="with --full_utterance: one forward per clip "
+                        "with the WHOLE waveform in attention context "
+                        "(length-bucketed; long clips use the VMEM "
+                        "attention kernel)")
     # RawBoost (reference: main.py:443-459)
     p.add_argument("--algo", type=int, default=3)
     p.add_argument("--nBands", type=int, default=5)
@@ -266,7 +271,10 @@ def run_eval(args, cfg, trainer):
     out = args.eval_output or default_out
     if args.full_utterance:
         from sls_tpu.data.audio import load_audio
-        from sls_tpu.evaluation.overlap import score_utterances_streamed
+        from sls_tpu.evaluation.overlap import (
+            score_utterances_streamed,
+            score_utterances_unwindowed,
+        )
         from sls_tpu.parallel import distributed as dist
         from sls_tpu.scores.writer import ScoreWriter
 
@@ -284,13 +292,25 @@ def run_eval(args, cfg, trainer):
         # utterance counts, so no global-mesh lockstep programs) and a
         # per-host part file merged by the primary
         (params,) = trainer._to_eval_mesh((trainer.state.params,))
-        n = 0
-        with ScoreWriter(dist.part_path(out)) as writer:
-            for utt, score in score_utterances_streamed(
+        if args.unwindowed:
+            # whole clip in ONE forward (global attention context);
+            # long-T buckets route through the VMEM attention kernel
+            results = (
+                (utt, score)
+                for utt, score, _ in score_utterances_unwindowed(
+                    trainer.model, params, audio_iter(),
+                    cfg.model.encoder,
+                )
+            )
+        else:
+            results = score_utterances_streamed(
                 trainer.model, params, audio_iter(),
                 window=cfg.train.cut_length,
                 batch_size=args.batch_size,
-            ):
+            )
+        n = 0
+        with ScoreWriter(dist.part_path(out)) as writer:
+            for utt, score in results:
                 writer.write_batch([utt], [score])
                 n += 1
         dist.merge_part_files(out)

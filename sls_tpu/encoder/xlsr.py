@@ -320,6 +320,23 @@ class SelfAttention(nn.Module):
         k = proj("k_proj")(x).reshape(B, T, H, D)
         v = proj("v_proj")(x).reshape(B, T, H, D)
 
+        if (cfg.flash_long_t and deterministic
+                and T >= cfg.flash_long_t and T % 256 == 0):
+            # long-T eval (un-windowed full utterances): the [B,H,T,T]
+            # fp32 scores would be HBM-resident under XLA (1 GB/layer
+            # at T=4032, B=1); this kernel keeps each score strip in
+            # VMEM (kernels/flash_attention.py).
+            from sls_tpu.kernels.flash_attention import flash_attention_long
+
+            ctx = flash_attention_long(
+                (q * (D ** -0.5)).reshape(B, T, C),
+                k.reshape(B, T, C),
+                v.reshape(B, T, C),
+                num_heads=H,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return proj("out_proj")(ctx)
+
         if cfg.fused_attention and deterministic:
             # VMEM-resident attention (kernels/attention.py): no HBM
             # round-trips for the [B,H,T,T] scores.  Eval-only (no

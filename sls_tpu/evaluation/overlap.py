@@ -264,3 +264,70 @@ def score_utterances_streamed(
         run_batch(pending_windows)
         pending_windows.clear()
     yield from flush_ready()
+
+
+def length_buckets(enc_cfg, t_targets=(256, 512, 1280, 2560, 5120)) -> Dict[int, int]:
+    """{frame_count: min waveform samples} for un-windowed scoring.
+
+    Targets are multiples of 256 so the long-T attention kernel's
+    block constraint holds (kernels/flash_attention.py) and every
+    clip compiles to one of len(t_targets) programs.  Inverts
+    ``enc_cfg.num_frames`` by upward search from the analytic stride
+    bound (total stride = product of conv strides; 320 for XLS-R)."""
+    stride = 1
+    for _, _, s in enc_cfg.conv_layers:
+        stride *= s
+    out = {}
+    for t in t_targets:
+        lo = stride * (t - 1)
+        while enc_cfg.num_frames(lo) < t:
+            lo += max(1, stride // 10)
+        out[t] = lo
+    return out
+
+
+def score_utterances_unwindowed(
+    model,
+    params,
+    audio_iter,
+    enc_cfg,
+    t_targets=(256, 512, 1280, 2560, 5120),
+):
+    """Un-windowed full-utterance scoring: ONE forward per clip with the
+    whole waveform in context.
+
+    Unlike the overlap-window path (score_utterances_streamed), the
+    classifier mean-pools over the clip's entire frame sequence, so
+    cross-window cues (global channel artifacts, long-range prosody)
+    are visible to the score — the capability the reference's
+    eval_overlap family approximates with 50%-overlap windows.
+
+    Clips are padded (repeat-tiled, reference ``pad`` semantics) up to
+    the nearest length bucket; clips longer than the largest bucket are
+    chunked at that bucket and their scores averaged.  T buckets are
+    multiples of 256, so attention runs through the long-T VMEM kernel
+    when ``enc_cfg.flash_long_t`` admits it.
+
+    Yields (utt_id, score, n_frames_bucket) in input order.
+    """
+    from sls_tpu.data.audio import pad_or_tile
+
+    buckets = length_buckets(enc_cfg, t_targets)  # {T: samples}
+    sample_sizes = sorted(buckets.values())
+    fwd = _scoring_fwd(model)  # jit re-specializes per bucket shape
+
+    for utt_id, wav in audio_iter:
+        wav = np.asarray(wav, np.float32)
+        size = next((s for s in sample_sizes if wav.shape[0] <= s),
+                    sample_sizes[-1])
+        if wav.shape[0] <= size:
+            batch = pad_or_tile(wav, size)[None, :]
+        else:  # longer than the largest bucket: chunk + mean
+            n_chunks = int(np.ceil(wav.shape[0] / size))
+            batch = np.stack([
+                pad_or_tile(wav[i * size:(i + 1) * size], size)
+                for i in range(n_chunks)
+            ])
+        scores = np.asarray(fwd(params, jnp.asarray(batch)))
+        t_bucket = [t for t, s in buckets.items() if s == size][0]
+        yield utt_id, float(scores.mean()), t_bucket

@@ -15,9 +15,14 @@ MEASURED (v5e-1, B=64, T=201, XLS-R-300M end-to-end): the fused kernel is
 SLOWER than XLA's batched attention — 127.6 ms/batch vs 115.1 ms — because
 per-(b,h) [201x64] matmuls underutilize the 128x128 MXU and the
 [B,T,H,Dh]->[B*H,T,Dh] relayout costs HBM traffic that XLA's fusion
-avoids.  The flag (XLSRConfig.fused_attention) therefore defaults OFF;
-the kernel is kept for long-sequence eval paths where score
-materialization dominates.
+avoids.  The flag (XLSRConfig.fused_attention) therefore defaults OFF.
+
+STATUS: negative-result record for the T~200 regime.  The long-sequence
+regime these kernels once gestured at is now ACTUALLY served by
+kernels/flash_attention.py (q-blocked, handles T in the thousands where
+a whole [T, T] strip per grid cell would not fit), wired into the
+encoder via XLSRConfig.flash_long_t and the --unwindowed eval path;
+measurements in docs/BENCH_NOTES_r3.json.
 """
 
 from __future__ import annotations

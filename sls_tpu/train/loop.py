@@ -137,10 +137,15 @@ class BaseTrainer:
             self.mesh = mesh
         elif cfg.train.model_parallel > 1:
             if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "model_parallel > 1 with multi-host is not wired yet "
-                    "(per-host eval meshes would need the model axis too); "
-                    "use pure data-parallel across hosts"
+                raise ValueError(
+                    "model_parallel > 1 is single-host BY DESIGN: at "
+                    "0.3B params the state fits one chip several times "
+                    "over, so cross-host TP would trade a once-per-step "
+                    "1.3 GB gradient all-reduce (DP, rides ICI) for "
+                    "per-LAYER activation collectives over DCN — "
+                    "strictly slower at every scale this model reaches. "
+                    "Scale across hosts with data parallelism (see "
+                    "README 'TPU-first design decisions')."
                 )
             from sls_tpu.parallel.tensor import tp_mesh_and_config
 

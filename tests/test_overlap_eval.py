@@ -71,3 +71,60 @@ def test_score_full_utterance(overlap_model):
                                    stride=WAV_LEN // 2, batch_size=4,
                                    aggregate="min")
     assert out_min["score"] <= out["score"] + 1e-7
+
+
+class TestUnwindowedScoring:
+    """Un-windowed full-utterance scoring: one forward with the whole
+    clip in attention context (the long-T capability the reference's
+    eval_overlap family approximates with 50%-overlap windows)."""
+
+    def test_buckets_and_order(self, overlap_model):
+        from sls_tpu.evaluation.overlap import (
+            length_buckets,
+            score_utterances_unwindowed,
+        )
+        from tests.test_detector_train import tiny_model_config
+
+        model, params = overlap_model
+        enc = tiny_model_config().encoder
+        buckets = length_buckets(enc, t_targets=(64, 128))
+        assert sorted(buckets) == [64, 128]
+
+        rng = np.random.default_rng(5)
+        clips = [
+            ("short", rng.normal(0, 0.1, 800).astype(np.float32)),
+            ("mid", rng.normal(0, 0.1, 2000).astype(np.float32)),
+            ("long", rng.normal(0, 0.1, 7000).astype(np.float32)),
+        ]
+        out = list(score_utterances_unwindowed(
+            model, params, iter(clips), enc, t_targets=(64, 128)))
+        assert [u for u, _, _ in out] == ["short", "mid", "long"]
+        for _, s, _ in out:
+            assert 0.0 <= s <= 1.0
+        # short -> smallest bucket; mid -> second; long -> chunked at max
+        assert out[0][2] == 64
+        assert out[1][2] == 128
+        assert out[2][2] == 128
+
+    def test_matches_direct_forward(self, overlap_model):
+        """A clip exactly at a bucket length scores identically to a
+        plain model forward (no windowing artifacts)."""
+        from sls_tpu.evaluation.overlap import (
+            length_buckets,
+            score_utterances_unwindowed,
+        )
+        from tests.test_detector_train import tiny_model_config
+
+        model, params = overlap_model
+        enc = tiny_model_config().encoder
+        buckets = length_buckets(enc, t_targets=(64,))
+        size = buckets[64]
+        rng = np.random.default_rng(7)
+        wav = rng.normal(0, 0.1, size).astype(np.float32)
+        ((_, score, t),) = list(score_utterances_unwindowed(
+            model, params, [("u", wav)], enc, t_targets=(64,)))
+        direct = float(model.apply(
+            {"params": params}, jnp.asarray(wav[None]), train=False
+        )["score"][0])
+        assert t == 64
+        assert score == pytest.approx(direct, abs=1e-6)

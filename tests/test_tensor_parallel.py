@@ -247,6 +247,9 @@ def test_grouped_conv_gspmd_grad_bug_regression():
 
 
 def test_multihost_tp_rejected(monkeypatch):
+    """Single-host-only TP is a documented DESIGN DECISION (README
+    'TPU-first design decisions'), not a TODO: the rejection must state
+    the rationale (DP all-reduce vs per-layer DCN collectives)."""
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="BY DESIGN"):
         Trainer(_tiny_cfg(), "/tmp/nope", tensorboard=False)
