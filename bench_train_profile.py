@@ -20,6 +20,7 @@ Prints one JSON object with utts/s and ms/utt per component.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -50,7 +51,11 @@ def timed(fn, args, iters, batch):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=112)
+    # b64 (not the b112 train-sweep best): components 3-4 keep params +
+    # an UNDONATED grad tree alive alongside the backward activations,
+    # which OOMs the 16 GB chip at b112; b64 fits every component and
+    # matches the sweep's 212.9 utts/s full-step point for attribution.
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--iters", type=int, default=8)
     args = parser.parse_args(argv)
 
@@ -121,6 +126,16 @@ def main(argv=None) -> int:
 
     run("train_fwd", train_fwd, (params, wav))
 
+    # Grad components return a SCALAR reduction of the grad tree, not
+    # the 1.26 GB tree itself: the reduction depends on every grad (no
+    # DCE) but lets XLA treat grad buffers as reusable temporaries —
+    # returning the full tree OOMs b64 alongside the backward
+    # activations, and the production step never materializes grads as
+    # program outputs either (they feed the fused optimizer update).
+    def _gsum(tree):
+        return sum(jnp.sum(g.astype(jnp.float32))
+                   for g in jax.tree_util.tree_leaves(tree))
+
     # 3. encoder-only fwd+bwd
     @jax.jit
     def enc_grad(p, w):
@@ -128,7 +143,7 @@ def main(argv=None) -> int:
             out = model.apply({"params": p_}, w, train=True,
                               rngs={"dropout": key})
             return out["features"].astype(jnp.float32).mean()
-        return jax.grad(f)(p)
+        return _gsum(jax.grad(f)(p))
 
     run("enc_grad", enc_grad, (params, wav))
 
@@ -141,18 +156,42 @@ def main(argv=None) -> int:
             cls = weighted_nll(out["log_probs"], y,
                                cfg.train.loss_weights, v)
             return total_loss(cls, out["sae_loss"], cfg.train.sae_weight)
-        return jax.grad(f)(p)
+        return _gsum(jax.grad(f)(p))
 
     run("full_grad", full_grad, (params, wav, labels, valid))
 
-    # 5. optimizer alone (donated state, zero-like grads)
+    # 5. optimizer alone (donated state, zero-like grads).  The state
+    # (Adam moments = +2.4 GB fp32) is created only NOW, from the same
+    # param buffers — see the init note above.
+    from flax.training.train_state import TrainState
+
+    from sls_tpu.train.steps import make_optimizer, trainable_decay_mask
+
+    tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
+                        trainable_decay_mask(cfg))
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     grads = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def opt_only(s, g):
         return s.apply_gradients(grads=g)
 
-    run("optimizer", opt_only, (state, grads))
+    # donation consumes the input state each call, so chain
+    # output -> input (this is exactly the production pattern); after
+    # the warm call `params` aliases dead buffers — not used again
+    state = opt_only(state, grads)
+    _force(state.step)
+    start = time.time()
+    for _ in range(args.iters):
+        state = opt_only(state, grads)
+    _force(state.step)
+    elapsed = time.time() - start
+    report["optimizer"] = {
+        "utts_per_sec": round(B * args.iters / elapsed, 1),
+        "ms_per_utt": round(1e3 * elapsed / (B * args.iters), 3),
+    }
+    print(f"# optimizer: {report['optimizer']['utts_per_sec']} utts/s",
+          file=sys.stderr)
 
     # 6. the finite-guard select over the full state
     @jax.jit
@@ -163,12 +202,19 @@ def main(argv=None) -> int:
 
     run("guard_select", guard, (state,))
 
-    # 7. the full production step (donated, chained)
+    # 7. the full production step (donated, chained).  Drop every
+    # retained tree first: `grads` (1.26 GB of zeros) and `params`
+    # (aliases state.params, which the donated step consumes) would
+    # otherwise sit in the arena alongside the step's activations.
+    del grads
+    del params
+    import gc
+
+    gc.collect()
     step = make_train_step(model, cfg, mesh=None)
 
-    st = state
-    out = step(st, wav, labels, valid, key)
-    jax.block_until_ready(out[1]["loss"])
+    out = step(state, wav, labels, valid, key)
+    _force(out[1]["loss"])
     st = out[0]
     start = time.time()
     for _ in range(args.iters):
