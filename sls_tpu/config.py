@@ -64,8 +64,9 @@ class XLSRConfig:
     # long-sequence attention: when T >= this and T is block-aligned,
     # eval attention routes through kernels/flash_attention.py (scores
     # stay in VMEM; XLA would spill [B,H,T,T] fp32 to HBM).  0 = off.
-    # 1024 chosen from the r3 long-T measurements (BENCH_NOTES_r3).
-    flash_long_t: int = 1024
+    # 2048 = measured v5e crossover (BENCH_NOTES_r3 long_t: flash is
+    # 0.90x at T=1280, 1.09x at 2560, 1.42x at 5120).
+    flash_long_t: int = 2048
     # pos_conv as per-tap einsums instead of grouped nn.Conv: required
     # under tensor-parallel meshes (XLA SPMD mis-scales grouped-conv
     # weight grads by an unused mesh-axis size, jax 0.9.0 — repro in
