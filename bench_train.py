@@ -17,7 +17,8 @@ import json
 import time
 
 
-def run_config(batch: int, remat: bool, iters: int = 8) -> float:
+def run_config(batch: int, remat: bool, iters: int = 8,
+               pallas_sae: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,6 +64,8 @@ def main(argv=None) -> int:
     parser.add_argument("--batches", type=int, nargs="+", default=[64])
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused Pallas SAE encode/decode (custom VJP) in the train step")
     args = parser.parse_args(argv)
 
     import jax
@@ -75,13 +78,14 @@ def main(argv=None) -> int:
 
     for batch in args.batches:
         try:
-            ups = run_config(batch, args.remat, args.iters)
+            ups = run_config(batch, args.remat, args.iters, args.pallas)
             print(json.dumps({
                 "metric": "train-utts/sec/chip (XLS-R-300M fine-tune)",
                 "value": round(ups, 2),
                 "unit": "utterances/sec/chip",
                 "batch": batch,
                 "remat": args.remat,
+                "pallas_sae": args.pallas,
             }), flush=True)
         except Exception as exc:  # OOM etc: record and continue
             print(json.dumps({
