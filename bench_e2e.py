@@ -23,10 +23,13 @@ On THIS image the chip sits behind a network relay whose ~14 MB/s
 upload path binds the pipeline (measured r3: e2e 131 utts/s vs 380
 decode-only, 752 native-decode, 860 device-only; explicit double-
 buffered device_put does not help — the relay transfer engine is
-already pipelined).  On a production host (PCIe >= 8 GB/s) the upload
-term vanishes and the binding constraint is host decode, which scales
-with cores (n_threads).  The JSON reports every component so the
-bottleneck is named, not guessed.
+already pipelined).  ``--wire_int16`` halves the wire bytes (native
+int16 decode + on-device dequant, lossless for 16-bit sources):
+measured e2e 244.9 utts/s (1.87x) with decode-only up to 816 utts/s
+(docs/BENCH_NOTES_r3.json wire_int16).  On a production host
+(PCIe >= 8 GB/s) the upload term vanishes and the binding constraint
+is host decode, which scales with cores (n_threads).  The JSON
+reports every component so the bottleneck is named, not guessed.
 """
 
 from __future__ import annotations
@@ -82,6 +85,9 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="/tmp/sls_e2e_scores.txt")
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         default=True)
+    parser.add_argument("--wire_int16", action="store_true",
+                        help="upload int16 waveforms (half the bytes; "
+                        "lossless for 16-bit FLAC — see pipeline.to_wire)")
     args = parser.parse_args(argv)
 
     import jax
@@ -97,13 +103,18 @@ def main(argv=None) -> int:
 
     model, cfg = build_flagship(args.pallas)
     forward, params, wav = init_flagship(model, args.batch)
+    wire = "int16" if args.wire_int16 else "float32"
+    if args.wire_int16:
+        from sls_tpu.data.pipeline import to_wire
+
+        wav = to_wire(np.asarray(wav), "int16")
     t0 = time.time()
     jax.device_get(forward(params, wav))  # compile outside the timing
     print(f"# compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
 
     def make_loader():
         return BatchLoader(index, args.batch, cut=WAV_LEN,
-                           num_threads=args.num_threads)
+                           num_threads=args.num_threads, wire_dtype=wire)
 
     # component rate 1: decode-only (drain the loader, no device work)
     t0 = time.time()
@@ -121,7 +132,7 @@ def main(argv=None) -> int:
     print(f"# native-decode: {native_ups:.1f} utts/s", file=sys.stderr)
 
     # component rate 3: host->device upload bandwidth for one batch
-    batch_bytes = args.batch * WAV_LEN * 4
+    batch_bytes = args.batch * WAV_LEN * (2 if args.wire_int16 else 4)
     up = np.asarray(wav)
     jax.device_put(up).block_until_ready()
     t0 = time.time()
@@ -167,6 +178,7 @@ def main(argv=None) -> int:
                 "decode_only_utts_per_sec": round(decode_ups, 1),
                 "native_decode_utts_per_sec": round(native_ups, 1),
                 "upload_MB_per_sec": round(upload_mbps, 1),
+                "wire": wire,
                 "n_utts": n,
             }
         )

@@ -43,6 +43,21 @@ def load_experiment(run_dir: str, checkpoint: Optional[str] = None):
         raise FileNotFoundError(f"no checkpoint in {run_dir}")
     raw, meta = load_checkpoint(path)
     cfg = config_from_dict(ExperimentConfig, json.loads(meta["config_json"]))
+    if cfg.model.encoder.int8_serving:
+        # analysis needs exact fp numerics AND differentiability:
+        # jax.grad through the int8 path's round() is zero a.e., which
+        # would silently null gradient attribution.  A checkpoint from
+        # an --int8 serving run analyzes in the bf16 path it trained in.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                encoder=dataclasses.replace(
+                    cfg.model.encoder, int8_serving=False),
+            ),
+        )
     model = Detector(cfg.model)
     params = raw["state"]["params"] if "state" in raw else raw["params"]
     return cfg, model, params

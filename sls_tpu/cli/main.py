@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize transformer layers (memory for FLOPs)")
     p.add_argument("--pallas_sae", action="store_true",
                    help="fused Pallas SAE encode+topk kernel (TPU)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 dynamic-quantized serving: QKVO+FFN matmuls "
+                   "run int8 on the MXU (eval paths only; same checkpoints; "
+                   "measured SLOWER than bf16 on the flagship topology — "
+                   "see sls_tpu/quant/int8.py — useful only for much wider "
+                   "layer configs)")
+    p.add_argument("--wire_int16", action="store_true",
+                   help="upload waveforms as int16 (half the host->device "
+                   "bytes; device dequantizes in-step — lossless for "
+                   "16-bit sources like all ASVspoof FLAC)")
     # SAE (reference: main.py:430-441)
     p.add_argument("--use_sae", action="store_true", default=True)
     p.add_argument("--no_sae", dest="use_sae", action="store_false")
@@ -148,7 +158,8 @@ def config_from_args(args) -> "ExperimentConfig":
         act_dim = encoder.embed_dim
     else:
         encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                             remat=args.remat)
+                             remat=args.remat,
+                             int8_serving=getattr(args, "int8", False))
         act_dim = 1024
 
     use_sae = args.use_sae and getattr(args, "model_type", "sae") != "sls"
@@ -320,6 +331,7 @@ def run_eval(args, cfg, trainer):
             index, batch_size=args.batch_size, shuffle=False,
             cut=cfg.train.cut_length,
             limit_batches=5 if args.quick_test else None,
+            wire_dtype="int16" if args.wire_int16 else "float32",
         )
         n = trainer.produce_scores(loader, out)
     print(f"wrote {n} scores to {out}")
@@ -352,11 +364,13 @@ def run_train(args, cfg, trainer):
             jax.process_index(), jax.process_count()
         )
     limit = 5 if args.quick_test else None
+    wire = "int16" if args.wire_int16 else "float32"
     train_loader = BatchLoader(train_index, args.batch_size, shuffle=True,
                                cut=cfg.train.cut_length, seed=args.seed,
-                               limit_batches=limit)
+                               limit_batches=limit, wire_dtype=wire)
     dev_loader = BatchLoader(dev_index, args.batch_size,
-                             cut=cfg.train.cut_length, limit_batches=limit)
+                             cut=cfg.train.cut_length, limit_batches=limit,
+                             wire_dtype=wire)
     trainer.fit(train_loader, dev_loader)
 
 

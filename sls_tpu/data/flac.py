@@ -71,6 +71,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
             ctypes.c_int,
         ]
+        lib.slsaudio_decode_batch_rates_i16.restype = ctypes.c_int
+        lib.slsaudio_decode_batch_rates_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         _lib = lib
         return lib
 
@@ -105,8 +114,11 @@ def decode_batch(
     cut: int,
     n_threads: int = 0,
     target_sr: int = 16000,
+    dtype: str = "float32",
 ) -> np.ndarray:
-    """Decode + pad/tile a whole batch natively.  Returns [N, cut] float32;
+    """Decode + pad/tile a whole batch natively.  Returns [N, cut] in
+    ``dtype`` (float32, or the int16 wire format — converted inside the
+    decode workers while rows are cache-hot, see pipeline.to_wire);
     failed files come back as zero rows.
 
     Files at a sample rate other than ``target_sr`` are re-decoded in full
@@ -117,20 +129,35 @@ def decode_batch(
     """
     lib = _load()
     n = len(paths)
-    out = np.zeros((n, cut), np.float32)
     rates = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
-    lib.slsaudio_decode_batch_rates(
-        arr, n, cut, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n_threads,
-    )
+    if dtype == "int16":
+        out = np.zeros((n, cut), np.int16)
+        lib.slsaudio_decode_batch_rates_i16(
+            arr, n, cut, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
+    elif dtype == "float32":
+        out = np.zeros((n, cut), np.float32)
+        lib.slsaudio_decode_batch_rates(
+            arr, n, cut, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads,
+        )
+    else:
+        raise ValueError(f"unknown decode dtype: {dtype!r}")
     if target_sr:
         for i in np.nonzero((rates != 0) & (rates != target_sr))[0]:
             from sls_tpu.data.audio import pad_or_tile, resample_to_16k
 
             wav, sr = read_flac_rate(paths[i])
-            out[i] = pad_or_tile(resample_to_16k(wav, sr), cut)
+            row = pad_or_tile(resample_to_16k(wav, sr), cut)
+            if dtype == "int16":
+                from sls_tpu.data.pipeline import to_wire
+
+                row = to_wire(row, "int16")
+            out[i] = row
     return out

@@ -312,6 +312,14 @@ class SelfAttention(nn.Module):
         H, D = cfg.num_heads, cfg.head_dim
 
         def proj(name):
+            if cfg.int8_serving:
+                from sls_tpu.quant.int8 import QuantizableDense
+
+                # int8 only when no gradients are live; the param tree
+                # is identical to nn.Dense either way (quant/int8.py)
+                return QuantizableDense(
+                    C, dtype=cfg.dtype, use_int8=deterministic, name=name
+                )
             return nn.Dense(
                 C, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
             )
@@ -377,13 +385,26 @@ class TransformerLayer(nn.Module):
         drop = nn.Dropout(rate=cfg.dropout)
         act_drop = nn.Dropout(rate=cfg.activation_dropout)
 
+        if cfg.int8_serving:
+            from sls_tpu.quant.int8 import QuantizableDense
+
+            def dense(features, name):
+                return QuantizableDense(
+                    features, dtype=cfg.dtype, use_int8=deterministic,
+                    name=name,
+                )
+        else:
+            def dense(features, name):
+                return nn.Dense(
+                    features, dtype=cfg.dtype, param_dtype=jnp.float32,
+                    name=name,
+                )
+
         def ffn(h):
-            h = nn.Dense(cfg.ffn_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
-                         name="fc1")(h)
+            h = dense(cfg.ffn_dim, "fc1")(h)
             h = act(h.astype(jnp.float32)).astype(cfg.dtype)
             h = act_drop(h, deterministic=deterministic)
-            h = nn.Dense(cfg.embed_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
-                         name="fc2")(h)
+            h = dense(cfg.embed_dim, "fc2")(h)
             return drop(h, deterministic=deterministic)
 
         attn = SelfAttention(cfg, name="self_attn")

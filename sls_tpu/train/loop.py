@@ -305,6 +305,12 @@ class BaseTrainer:
             )
             wav = jnp.asarray(wav_np)
             if aug_cfg.algo in range(1, 9):
+                if wav.dtype == jnp.int16:
+                    # RawBoost filters float audio; dequantize the int16
+                    # wire on device before augmenting (one fused op)
+                    from sls_tpu.train.steps import dequantize_wire
+
+                    wav = dequantize_wire(wav)
                 # key folds in process_index so hosts draw decorrelated
                 # augmentations for their disjoint data shards
                 aug_key = jax.random.fold_in(

@@ -32,6 +32,18 @@ class TrainState(train_state.TrainState):
     (base_rng, step) so resume is deterministic."""
 
 
+def dequantize_wire(wav: jnp.ndarray) -> jnp.ndarray:
+    """int16 wire format -> float32 audio (data/pipeline.to_wire).
+
+    The dtype check happens at trace time, so the float path compiles to
+    nothing, and the int16 path's scale-multiply fuses into the first
+    feature-extractor conv.  Lossless for 16-bit sources: to_wire emits
+    round(f * 32768) and this inverts it exactly."""
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    return wav
+
+
 def make_optimizer(
     lr: float,
     weight_decay: float,
@@ -118,6 +130,7 @@ def make_train_step(
     compute_cpc = cfg.model.use_cpc
 
     def step(state: TrainState, wav, labels, valid, base_rng):
+        wav = dequantize_wire(wav)
         dropout_rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
@@ -197,6 +210,7 @@ def make_eval_step(
     log_probs, sae_loss (for validation telemetry)."""
 
     def step(params, wav):
+        wav = dequantize_wire(wav)
         out = model.apply({"params": params}, wav, train=False)
         res = {
             "score": out["score"],

@@ -197,3 +197,45 @@ class TestFuzzRegression:
         assert out.shape == (len(paths), cut)
         assert np.all(np.isfinite(out))
         assert np.all(np.abs(out) <= 1.0 + 1e-6)
+
+
+class TestBatchDecodeInt16:
+    """Native int16 wire output (slsaudio_decode_batch_rates_i16)."""
+
+    def test_matches_float_path_exactly(self, tmp_path):
+        from sls_tpu.data.pipeline import to_wire
+
+        short = _int16_sine(1000)
+        long = _int16_sine(9000)
+        p1 = _write(tmp_path, "a.flac", encode_flac([short]))
+        p2 = _write(tmp_path, "b.flac", encode_flac([long]))
+        missing = tmp_path / "missing.flac"
+
+        cut = 4000
+        out_f = decode_batch([p1, p2, missing], cut, n_threads=4)
+        out_i = decode_batch([p1, p2, missing], cut, n_threads=4,
+                             dtype="int16")
+        assert out_i.dtype == np.int16
+        # C++ lrintf and numpy rint agree (round-half-even), and 16-bit
+        # sources are exactly representable: bitwise match incl. the
+        # pad/tile rows and the zero corrupt-fallback row
+        np.testing.assert_array_equal(out_i, to_wire(out_f, "int16"))
+        assert np.all(out_i[2] == 0)
+
+    def test_off_rate_row_resampled_and_quantized(self, tmp_path):
+        sr = 8000
+        n = 2000
+        t = np.arange(n) / sr
+        ch = np.round(0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int64)
+        p_off = _write(tmp_path, "off.flac", encode_flac([ch], sample_rate=sr))
+        cut = 4000
+        out = decode_batch([p_off], cut, dtype="int16")
+        assert out.dtype == np.int16
+        spec = np.abs(np.fft.rfft(out[0].astype(np.float64)))
+        freq = np.fft.rfftfreq(cut, d=1.0 / 16000.0)
+        assert abs(freq[int(np.argmax(spec))] - 440.0) < 10.0
+
+    def test_unknown_dtype_rejected(self, tmp_path):
+        p = _write(tmp_path, "c.flac", encode_flac([_int16_sine(100)]))
+        with pytest.raises(ValueError):
+            decode_batch([p], 100, dtype="int8")

@@ -94,3 +94,61 @@ def test_host_shard(flac_dataset):
     np.testing.assert_array_equal(
         shards[1].labels, [labels[u] for u in shards[1].utt_ids]
     )
+
+
+class TestInt16Wire:
+    """int16 wire format: half the host->device bytes, lossless for
+    16-bit sources (pipeline.to_wire / steps.dequantize_wire)."""
+
+    def test_to_wire_roundtrip_lossless_on_i16_grid(self):
+        from sls_tpu.data.pipeline import to_wire
+
+        ints = np.array([-32768, -1, 0, 1, 2, 32767], np.int32)
+        f = (ints / 32768.0).astype(np.float32)  # what the decoder emits
+        wire = to_wire(f, "int16")
+        assert wire.dtype == np.int16
+        np.testing.assert_array_equal(wire.astype(np.int32), ints)
+        back = wire.astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(back, f)
+
+    def test_to_wire_clips_and_rejects_unknown(self):
+        from sls_tpu.data.pipeline import to_wire
+
+        wire = to_wire(np.array([2.0, -2.0], np.float32), "int16")
+        np.testing.assert_array_equal(wire, [32767, -32768])
+        np.testing.assert_array_equal(
+            to_wire(np.array([0.5], np.float32), "float32"),
+            np.array([0.5], np.float32))
+        with pytest.raises(ValueError):
+            to_wire(np.zeros(1, np.float32), "fp8")
+
+    def test_loader_wire_dtype(self, flac_dataset):
+        base, utts, labels = flac_dataset
+        index = DatasetIndex.for_train(utts, labels, base)
+        lo_f = BatchLoader(index, batch_size=4, cut=800)
+        lo_i = BatchLoader(index, batch_size=4, cut=800, wire_dtype="int16")
+        bf = next(iter(lo_f.epoch(0)))
+        bi = next(iter(lo_i.epoch(0)))
+        assert bi.wav.dtype == np.int16
+        # FLAC sources are 16-bit: wire roundtrip is bit-exact
+        np.testing.assert_array_equal(
+            bi.wav.astype(np.float32) / 32768.0, bf.wav)
+
+    def test_dequantize_wire_in_eval_step(self, flac_dataset):
+        import jax
+        import jax.numpy as jnp
+
+        from sls_tpu.train.steps import dequantize_wire
+
+        base, utts, labels = flac_dataset
+        index = DatasetIndex.for_train(utts, labels, base)
+        wav_i = next(iter(BatchLoader(
+            index, batch_size=4, cut=800, wire_dtype="int16").epoch(0))).wav
+        wav_f = next(iter(BatchLoader(
+            index, batch_size=4, cut=800).epoch(0))).wav
+        out = jax.jit(dequantize_wire)(jnp.asarray(wav_i))
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out), wav_f)
+        # float input passes through untouched
+        same = jax.jit(dequantize_wire)(jnp.asarray(wav_f))
+        np.testing.assert_array_equal(np.asarray(same), wav_f)

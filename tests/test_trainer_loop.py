@@ -122,3 +122,26 @@ def test_validate_partial_batch_sae_loss_masked(run):
     # batch — reference semantics, main.py:118-126 — so it legitimately
     # varies with batch composition)
     assert m_full.eer == pytest.approx(m_ragged.eer, abs=1e-9)
+
+
+def test_produce_scores_int16_wire_identical(run, tmp_path):
+    """int16 wire scoring == float32 scoring, bit for bit, when the
+    audio lies on the 16-bit grid (as all FLAC-decoded audio does)."""
+    from sls_tpu.data.pipeline import to_wire
+
+    trainer, _, _, _ = run
+    rng = np.random.default_rng(11)
+    wav, _ = synthetic_batch(rng, 20)
+    # snap to the i16 grid, mimicking 16-bit-source decode output
+    wav_i16 = to_wire(np.asarray(wav), "int16")
+    wav_f = wav_i16.astype(np.float32) / 32768.0
+    ids = [f"E_{i:04d}" for i in range(20)]
+    loader_f = ArrayLoader(wav_f, None, utt_ids=ids, batch_size=8)
+    loader_i = ArrayLoader(wav_i16, None, utt_ids=ids, batch_size=8)
+    out_f, out_i = tmp_path / "f.txt", tmp_path / "i.txt"
+    assert trainer.produce_scores(loader_f, out_f) == 20
+    assert trainer.produce_scores(loader_i, out_i) == 20
+    ids_f, s_f = read_score_file(out_f)
+    ids_i, s_i = read_score_file(out_i)
+    assert ids_f == ids_i
+    np.testing.assert_array_equal(s_f, s_i)
