@@ -78,15 +78,22 @@ def flops_per_utterance(cfg, wav_len: int = 64600) -> float:
     return total
 
 
-def build_flagship(pallas: bool = True):
-    """(model, cfg) for the flagship detector — shared with bench_e2e."""
+def build_flagship(pallas: bool = True, int8_ffn: bool = False):
+    """(model, cfg) for the flagship detector — shared with bench_e2e.
+
+    ``int8_ffn``: the recommended SERVING configuration — dynamic int8
+    on the FFN GEMMs only (measured 1.14x over bf16 end-to-end; scores
+    within the quantization envelope documented in BENCH_NOTES_r3).
+    Training and golden-parity paths never use it.
+    """
     import jax.numpy as jnp
 
     from sls_tpu.config import ModelConfig, SAEConfig, XLSRConfig
     from sls_tpu.models.detector import Detector
 
     cfg = ModelConfig(
-        encoder=XLSRConfig(dtype=jnp.bfloat16),
+        encoder=XLSRConfig(dtype=jnp.bfloat16, int8_serving=int8_ffn,
+                           int8_scope="ffn"),
         use_sae=True,
         use_sparse_features=True,
         sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
@@ -139,11 +146,17 @@ def main(argv=None) -> int:
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         default=True,
                         help="disable the fused Pallas SAE kernel")
+    # int8-ffn is the measured-best SERVING config (1.14x, reachable in
+    # the CLI via --int8); --no_int8 reproduces the pure-bf16 number
+    parser.add_argument("--no_int8", dest="int8", action="store_false",
+                        default=True,
+                        help="disable dynamic int8 on the FFN GEMMs "
+                        "(pure bf16: ~860 utts/s vs ~970 with it)")
     args = parser.parse_args(argv)
 
     import jax
 
-    model, cfg = build_flagship(args.pallas)
+    model, cfg = build_flagship(args.pallas, int8_ffn=args.int8)
     forward, params, wav = init_flagship(model, args.batch)
 
     t0 = time.time()
@@ -190,6 +203,9 @@ def main(argv=None) -> int:
                 "tflops": round(tflops, 1),
                 "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
                 "gflop_per_utt": round(gflop_utt, 1),
+                "precision": ("bf16 + dynamic-int8 FFN (serving config; "
+                              "--no_int8 for pure bf16)"
+                              if args.int8 else "bf16 (fp32 islands)"),
             }
         )
     )

@@ -53,11 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_sae", action="store_true",
                    help="fused Pallas SAE encode+topk kernel (TPU)")
     p.add_argument("--int8", action="store_true",
-                   help="int8 dynamic-quantized serving: QKVO+FFN matmuls "
-                   "run int8 on the MXU (eval paths only; same checkpoints; "
-                   "measured SLOWER than bf16 on the flagship topology — "
-                   "see sls_tpu/quant/int8.py — useful only for much wider "
-                   "layer configs)")
+                   help="int8 dynamic-quantized serving (eval paths only; "
+                   "same checkpoints; training/golden-parity stay "
+                   "bf16/fp32).  Default scope quantizes the FFN GEMMs "
+                   "only — measured 1.14x eval throughput on the flagship")
+    p.add_argument("--int8_scope", choices=["ffn", "all"], default="ffn",
+                   help="which matmuls go int8: 'ffn' (fc1/fc2; measured "
+                   "1.14x) or 'all' (+QKVO; measured 0.94x — for wider "
+                   "layer configs only)")
     p.add_argument("--wire_int16", action="store_true",
                    help="upload waveforms as int16 (half the host->device "
                    "bytes; device dequantizes in-step — lossless for "
@@ -154,12 +157,16 @@ def config_from_args(args) -> "ExperimentConfig":
     if getattr(args, "tiny", False):
         from sls_tpu.config import tiny_xlsr_config
 
-        encoder = tiny_xlsr_config()
+        encoder = tiny_xlsr_config(
+            int8_serving=getattr(args, "int8", False),
+            int8_scope=getattr(args, "int8_scope", "ffn"),
+        )
         act_dim = encoder.embed_dim
     else:
         encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                              remat=args.remat,
-                             int8_serving=getattr(args, "int8", False))
+                             int8_serving=getattr(args, "int8", False),
+                             int8_scope=getattr(args, "int8_scope", "ffn"))
         act_dim = 1024
 
     use_sae = args.use_sae and getattr(args, "model_type", "sae") != "sls"

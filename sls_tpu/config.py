@@ -61,15 +61,18 @@ class XLSRConfig:
     # fused VMEM attention kernel (eval path; falls back to XLA when
     # training so autodiff works)
     fused_attention: bool = False
-    # int8 dynamic-quantized serving: QKVO + FFN matmuls run int8 on
-    # the MXU with per-token/per-channel scales; eval only — training
-    # always keeps the bf16/fp32 recipe.  Param tree is unchanged
-    # (quant/int8.py), so any checkpoint serves either way.  Measured
-    # NET LOSS on the flagship at b36 (808 vs 860 utts/s — quant
-    # overhead beats the 1.7x MXU rate at these widths; see
-    # quant/int8.py docstring), so OFF by default; exists for much
-    # wider layer configs.
+    # int8 dynamic-quantized serving: run matmuls int8 on the MXU with
+    # per-token/per-channel scales; eval only — training always keeps
+    # the bf16/fp32 recipe.  Param tree is unchanged (quant/int8.py),
+    # so any checkpoint serves either way.
     int8_serving: bool = False
+    # which matmuls the int8 path covers.  "ffn" (fc1/fc2 only — the
+    # wide 1024x4096 GEMMs) measured 1.14x end-to-end on the flagship
+    # (970.9 vs 848.8 utts/s at b36) and is the default; "all" (+QKVO)
+    # measured 0.94x — the narrow 1024x1024 projections pay more in
+    # quantize/rescale passes than the 1.73x MXU rate returns
+    # (docs/BENCH_NOTES_r3.json int8_serving).
+    int8_scope: str = "ffn"
     # long-sequence attention: when T >= this and T is block-aligned,
     # eval attention routes through kernels/flash_attention.py (scores
     # stay in VMEM; XLA would spill [B,H,T,T] fp32 to HBM).  0 = off.

@@ -312,7 +312,7 @@ class SelfAttention(nn.Module):
         H, D = cfg.num_heads, cfg.head_dim
 
         def proj(name):
-            if cfg.int8_serving:
+            if cfg.int8_serving and cfg.int8_scope == "all":
                 from sls_tpu.quant.int8 import QuantizableDense
 
                 # int8 only when no gradients are live; the param tree

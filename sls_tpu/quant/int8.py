@@ -1,17 +1,22 @@
 """int8 dynamic-quantized dense layers for the serving path.
 
 MEASURED RESULT (v5e, docs/BENCH_NOTES_r3.json int8_serving): the MXU
-really does run int8 x int8 -> int32 at ~1.7x the bf16 rate (273.8
-TOP/s vs 158.6 TFLOP/s on square 16k matmuls), but on the FLAGSHIP
-MODEL int8 serving is a net LOSS — 808 vs 860 utts/s at b36 — because
-the dynamic-quant bookkeeping (per-token abs-max + round over every
-activation, fp32 rescale of every output) adds VPU/HBM passes that
-exceed the MXU time saved at XLS-R's GEMM widths (K,N <= 4096,
-~0.1-0.4 ms per matmul).  The flag therefore stays OFF by default and
-exists for configurations where the arithmetic flips: much wider
-layers (dict-size >= 16k SAEs, larger FFNs) or batch regimes where
-matmul time dominates the quant overhead.  Attention score/context
-einsums and convs stay bf16 either way.
+runs int8 x int8 -> int32 at ~1.7x the bf16 rate (273.8 TOP/s vs
+158.6 TFLOP/s on square 16k matmuls), and SCOPE decides whether that
+reaches the end-to-end number.  Dynamic-quant bookkeeping (per-token
+abs-max + round over every activation, fp32 rescale of every output)
+has a fixed per-matmul cost, so:
+
+- on the wide FFN GEMMs (1024x4096, ~60 GFLOP each) the MXU saving
+  dominates: ``int8_scope='ffn'`` serves the flagship at 978 vs 858
+  utts/s (1.14x) — the default scope and bench.py's serving config;
+- adding the narrow QKVO projections (1024x1024) flips the sign:
+  ``int8_scope='all'`` measures 0.94x, kept only for wider-layer
+  configs.
+
+Attention score/context einsums and convs stay bf16 either way; max
+score deviation 0.0105 on random-init at the real topology, the same
+order as the characterized bf16-vs-fp32 round-off.
 
 The recipe, for EVAL ONLY:
 

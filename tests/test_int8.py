@@ -97,11 +97,12 @@ class TestEncoderInt8:
         rng = np.random.default_rng(3)
         return jnp.asarray(rng.normal(0, 0.1, (2, 3200)).astype(np.float32))
 
-    def test_tree_compatible_and_eval_close(self, wav):
+    @pytest.mark.parametrize("scope", ["all", "ffn"])
+    def test_tree_compatible_and_eval_close(self, wav, scope):
         from sls_tpu.encoder.xlsr import XLSREncoder
 
         cfg_fp = tiny_xlsr_config()
-        cfg_q = tiny_xlsr_config(int8_serving=True)
+        cfg_q = tiny_xlsr_config(int8_serving=True, int8_scope=scope)
         enc_fp, enc_q = XLSREncoder(cfg_fp), XLSREncoder(cfg_q)
         params = enc_fp.init(
             {"params": jax.random.PRNGKey(0)}, wav, train=False)
@@ -159,14 +160,15 @@ class TestEncoderInt8:
 
 
 class TestDetectorInt8:
-    def test_scores_close_to_fp(self):
+    @pytest.mark.parametrize("scope", ["all", "ffn"])
+    def test_scores_close_to_fp(self, scope):
         from sls_tpu.config import ModelConfig, SAEConfig
         from sls_tpu.models.detector import Detector
 
         rng = np.random.default_rng(4)
         wav = jnp.asarray(rng.normal(0, 0.1, (3, 3200)).astype(np.float32))
         enc_fp = tiny_xlsr_config()
-        enc_q = tiny_xlsr_config(int8_serving=True)
+        enc_q = tiny_xlsr_config(int8_serving=True, int8_scope=scope)
         sae = SAEConfig(activation_dim=enc_fp.embed_dim, dict_size=128, k=16)
         m_fp = Detector(ModelConfig(encoder=enc_fp, use_sae=True,
                                     use_sparse_features=True, sae=sae))

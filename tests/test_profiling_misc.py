@@ -19,7 +19,11 @@ def test_step_timer():
         t.tick()
     s = t.summary(items_per_step=8)
     assert s["steps"] == 4  # warmup discarded
-    assert 0.005 < s["mean_s"] < 0.2
+    # lower bound: a tick can never be shorter than its sleep.  No tight
+    # upper bound: on a loaded 1-core host a 10 ms sleep has measured
+    # 250 ms wall time (scheduler delay), which is exactly what a wall
+    # timer SHOULD report.
+    assert 0.005 < s["mean_s"] < 5.0
     assert s["items_per_sec"] == pytest.approx(8 / s["mean_s"])
     assert StepTimer().summary() == {"steps": 0}
 
