@@ -1,0 +1,18 @@
+"""Fine batch sweep of the int8-ffn serving config (the b36 sweet spot
+was found under pure bf16; the int8 path changes the layout mix)."""
+import json
+import subprocess
+import sys
+
+results = {}
+for b in [24, 27, 32, 36, 40, 45, 48, 54, 64, 72]:
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--batch", str(b), "--iters", "16"],
+        capture_output=True, text=True, timeout=900)
+    try:
+        j = json.loads(out.stdout.strip().splitlines()[-1])
+        results[b] = j["value"]
+        print(f"b{b}: {j['value']} utts/s", flush=True)
+    except Exception:
+        print(f"b{b}: FAILED\n{out.stderr[-300:]}", flush=True)
+print(json.dumps(results))
