@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "with the WHOLE waveform in attention context "
                         "(length-bucketed; long clips use the VMEM "
                         "attention kernel)")
+    p.add_argument("--seq_parallel", type=int, default=1,
+                   help="with --full_utterance --unwindowed: shard each "
+                        "clip's frame axis over this many devices "
+                        "(sequence parallelism, parallel/sequence.py); "
+                        "1 = off")
     # RawBoost (reference: main.py:443-459)
     p.add_argument("--algo", type=int, default=3)
     p.add_argument("--nBands", type=int, default=5)
@@ -312,12 +317,23 @@ def run_eval(args, cfg, trainer):
         (params,) = trainer._to_eval_mesh((trainer.state.params,))
         if args.unwindowed:
             # whole clip in ONE forward (global attention context);
-            # long-T buckets route through the VMEM attention kernel
+            # long-T buckets route through the VMEM attention kernel,
+            # or across chips when --seq_parallel > 1
+            score_model, mesh_sp = trainer.model, None
+            if args.seq_parallel > 1:
+                from sls_tpu.models.detector import Detector
+                from sls_tpu.parallel.sequence import (
+                    sp_mesh as make_sp_mesh,
+                    sp_model_config,
+                )
+
+                score_model = Detector(sp_model_config(cfg.model))
+                mesh_sp = make_sp_mesh(args.seq_parallel)
             results = (
                 (utt, score)
                 for utt, score, _ in score_utterances_unwindowed(
-                    trainer.model, params, audio_iter(),
-                    cfg.model.encoder,
+                    score_model, params, audio_iter(),
+                    cfg.model.encoder, sp_mesh=mesh_sp,
                 )
             )
         else:

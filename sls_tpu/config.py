@@ -101,6 +101,17 @@ class XLSRConfig:
     # None = resolve by dtype: approximate iff dtype is bfloat16, so the
     # fp32 golden-parity path always uses the exact erf form.
     approx_gelu: Optional[bool] = None
+    # sequence-parallel axis name: when set, the encoder pins the frame
+    # (time) axis of every transformer-layer activation to this mesh
+    # axis via sharding constraints, so ONE long utterance spreads over
+    # multiple chips (LN/FFN shard trivially; GSPMD all-gathers K/V per
+    # attention layer over ICI).  The un-windowed full-utterance scorer
+    # (evaluation/overlap.py) is the intended consumer — at T in the
+    # thousands attention dominates, so only the O(T) conv front-end
+    # runs replicated.  Pallas kernels (flash/fused attention, SAE)
+    # don't shard transparently and are bypassed when this is set —
+    # parallel/sequence.py applies the full recipe.  None = off.
+    seq_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -35,6 +35,22 @@ from sls_tpu.kernels.frontend import (
 )
 
 
+def _seq_shard(x: jnp.ndarray, cfg: XLSRConfig) -> jnp.ndarray:
+    """Pin the frame axis of a [B, T, C] activation to ``cfg.seq_axis``.
+
+    Batch and channel dims stay UNCONSTRAINED so the same annotation
+    composes with a data-parallel batch sharding (dp x sp meshes).
+    Requires an ambient mesh (``jax.sharding.set_mesh``) at trace time —
+    parallel/sequence.py arranges that.  No-op when seq_axis is unset.
+    """
+    if not cfg.seq_axis:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(P.UNCONSTRAINED, cfg.seq_axis, P.UNCONSTRAINED)
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class Fp32LayerNorm(nn.Module):
     """LayerNorm computed in fp32 regardless of the surrounding dtype."""
 
@@ -328,7 +344,7 @@ class SelfAttention(nn.Module):
         k = proj("k_proj")(x).reshape(B, T, H, D)
         v = proj("v_proj")(x).reshape(B, T, H, D)
 
-        if (cfg.flash_long_t and deterministic
+        if (cfg.flash_long_t and deterministic and not cfg.seq_axis
                 and T >= cfg.flash_long_t and T % 256 == 0):
             # long-T eval (un-windowed full utterances): the [B,H,T,T]
             # fp32 scores would be HBM-resident under XLA (1 GB/layer
@@ -345,7 +361,7 @@ class SelfAttention(nn.Module):
             )
             return proj("out_proj")(ctx)
 
-        if cfg.fused_attention and deterministic:
+        if cfg.fused_attention and deterministic and not cfg.seq_axis:
             # VMEM-resident attention (kernels/attention.py): no HBM
             # round-trips for the [B,H,T,T] scores.  Eval-only (no
             # custom VJP); training keeps the XLA path below.
@@ -454,6 +470,10 @@ class XLSREncoder(nn.Module):
         if not cfg.layer_norm_first:
             x = Fp32LayerNorm(name="encoder_layer_norm")(x)
         x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
+        # sequence parallelism starts here: the O(T) front-end above ran
+        # unsharded; the O(T^2) layer stack below is pinned to the seq
+        # mesh axis (re-annotated per layer so GSPMD never drifts back)
+        x = _seq_shard(x, cfg)
 
         hidden_states: List[jnp.ndarray] = []
         layer_cls = TransformerLayer
@@ -473,6 +493,7 @@ class XLSREncoder(nn.Module):
                 x = jnp.where(keep, layer(x, deterministic), x)
             else:
                 x = layer(x, deterministic)
+            x = _seq_shard(x, cfg)
             if return_hidden_states:
                 hidden_states.append(x)
 

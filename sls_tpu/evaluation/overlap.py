@@ -292,6 +292,7 @@ def score_utterances_unwindowed(
     audio_iter,
     enc_cfg,
     t_targets=(256, 512, 1280, 2560, 5120),
+    sp_mesh=None,
 ):
     """Un-windowed full-utterance scoring: ONE forward per clip with the
     whole waveform in context.
@@ -308,13 +309,23 @@ def score_utterances_unwindowed(
     multiples of 256, so attention runs through the long-T VMEM kernel
     when ``enc_cfg.flash_long_t`` admits it.
 
+    With ``sp_mesh`` (a ('data','seq') mesh, parallel/sequence.py) each
+    forward runs sequence-parallel: the clip's frame axis is sharded
+    over the 'seq' devices, so one long utterance uses the whole mesh.
+    ``model`` must be built with ``sp_model_config`` in that case.
+
     Yields (utt_id, score, n_frames_bucket) in input order.
     """
     from sls_tpu.data.audio import pad_or_tile
 
     buckets = length_buckets(enc_cfg, t_targets)  # {T: samples}
     sample_sizes = sorted(buckets.values())
-    fwd = _scoring_fwd(model)  # jit re-specializes per bucket shape
+    if sp_mesh is not None:
+        from sls_tpu.parallel.sequence import sp_scoring_fn
+
+        fwd = sp_scoring_fn(model, sp_mesh)
+    else:
+        fwd = _scoring_fwd(model)  # jit re-specializes per bucket shape
 
     for utt_id, wav in audio_iter:
         wav = np.asarray(wav, np.float32)
