@@ -152,7 +152,37 @@ def main(argv=None) -> int:
                         default=True,
                         help="disable dynamic int8 on the FFN GEMMs "
                         "(pure bf16: ~860 utts/s vs ~970 with it)")
+    # bounded backend probe BEFORE touching jax in-process: the relayed
+    # TPU backend can hang indefinitely at init when the relay is down
+    # (observed: >28 min, then UNAVAILABLE), and a bench that never
+    # prints is worse than one that fails loud.  A subprocess probe is
+    # the only way to bound a blocking C init call.
+    parser.add_argument("--probe_timeout", type=float, default=600.0,
+                        help="seconds to wait for backend init before "
+                        "failing with an error JSON line (0 = skip)")
     args = parser.parse_args(argv)
+
+    if args.probe_timeout:
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True,
+                timeout=args.probe_timeout,
+            )
+            probe_err = (None if probe.returncode == 0
+                         else probe.stderr.strip()[-300:])
+        except subprocess.TimeoutExpired:
+            probe_err = f"backend init exceeded {args.probe_timeout:.0f}s"
+        if probe_err:
+            print(json.dumps({
+                "metric": "eval_throughput", "value": 0.0,
+                "unit": "utts/sec/chip", "vs_baseline": 0.0,
+                "error": f"jax backend unavailable: {probe_err}",
+            }))
+            return 1
 
     import jax
 

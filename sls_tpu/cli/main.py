@@ -397,7 +397,35 @@ def run_train(args, cfg, trainer):
     trainer.fit(train_loader, dev_loader)
 
 
+def _apply_platform_env():
+    """Honor SLS_TPU_PLATFORM (e.g. 'cpu') before backend init.
+
+    The jax.config route is required: this environment's TPU plugin
+    injects a sitecustomize hook that overrides JAX_PLATFORMS at
+    process start, so the standard env var cannot force the CPU
+    backend (same technique as tests/conftest.py).  Lets test/CI
+    runs that spawn this CLI as a subprocess (cli/sweep.py ->
+    cli/autotrain.py -> here) stay hermetic instead of depending on
+    accelerator availability; SLS_TPU_CPU_DEVICES additionally sizes
+    a virtual device mesh.
+    """
+    import os
+
+    plat = os.environ.get("SLS_TPU_PLATFORM")
+    if not plat:
+        return
+    import jax
+
+    if jax._src.xla_bridge._backends:  # already initialized: too late
+        return
+    jax.config.update("jax_platforms", plat)
+    n = os.environ.get("SLS_TPU_CPU_DEVICES")
+    if n and plat == "cpu":
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def main(argv=None) -> int:
+    _apply_platform_env()
     args = build_parser().parse_args(argv)
     if args.resume and args.fresh_start:
         print("ERROR: --resume and --fresh_start are mutually exclusive")

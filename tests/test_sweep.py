@@ -81,9 +81,13 @@ def test_dry_run_preset(tmp_path, capsys):
 
 
 @pytest.mark.slow
-def test_micro_sweep_end_to_end(mini_dataset, tmp_path):  # noqa: F811
+def test_micro_sweep_end_to_end(mini_dataset, tmp_path, monkeypatch):  # noqa: F811
     """A real 2-point sweep (tiny encoder, 1 epoch each) runs to done,
     writes per-point run dirs + summary, and skips done points on rerun."""
+    # the sweep spawns cli.main subprocesses; pin them to the CPU
+    # backend (cli.main._apply_platform_env) so the suite does not
+    # hang or fail when the accelerator/relay is unavailable
+    monkeypatch.setenv("SLS_TPU_PLATFORM", "cpu")
     model_dir = tmp_path / "models"
     argv = [
         "--grid", "k=8,16",
