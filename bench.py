@@ -156,7 +156,9 @@ def main(argv=None) -> int:
     # TPU backend can hang indefinitely at init when the relay is down
     # (observed: >28 min, then UNAVAILABLE), and a bench that never
     # prints is worse than one that fails loud.  A subprocess probe is
-    # the only way to bound a blocking C init call.
+    # the only way to bound a blocking C init call.  Cost on a healthy
+    # backend: one extra client init (seconds — no compile happens) —
+    # accepted so unattended driver runs always terminate.
     parser.add_argument("--probe_timeout", type=float, default=600.0,
                         help="seconds to wait for backend init before "
                         "failing with an error JSON line (0 = skip)")
@@ -173,12 +175,16 @@ def main(argv=None) -> int:
                 timeout=args.probe_timeout,
             )
             probe_err = (None if probe.returncode == 0
-                         else probe.stderr.strip()[-300:])
+                         else probe.stderr.strip()[-300:]
+                         or f"probe exited rc={probe.returncode}")
         except subprocess.TimeoutExpired:
             probe_err = f"backend init exceeded {args.probe_timeout:.0f}s"
-        if probe_err:
+        if probe_err is not None:
+            # same metric name as the success path so trackers record
+            # the outage as a zero in the series, not an unknown key
             print(json.dumps({
-                "metric": "eval_throughput", "value": 0.0,
+                "metric": "4s-utterances/sec/chip (XLS-R-300M eval)",
+                "value": 0.0,
                 "unit": "utts/sec/chip", "vs_baseline": 0.0,
                 "error": f"jax backend unavailable: {probe_err}",
             }))

@@ -327,8 +327,14 @@ def run_eval(args, cfg, trainer):
                     sp_model_config,
                 )
 
+                # local devices only: multi-host eval deliberately runs
+                # per-host programs on per-host shards (see the
+                # host_shard comment above) — a global-device SP mesh
+                # would deadlock hosts streaming different clip counts
                 score_model = Detector(sp_model_config(cfg.model))
-                mesh_sp = make_sp_mesh(args.seq_parallel)
+                mesh_sp = make_sp_mesh(
+                    args.seq_parallel, devices=jax.local_devices()
+                )
             results = (
                 (utt, score)
                 for utt, score, _ in score_utterances_unwindowed(
@@ -429,6 +435,15 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.resume and args.fresh_start:
         print("ERROR: --resume and --fresh_start are mutually exclusive")
+        return 2
+    if args.seq_parallel > 1 and not (
+        args.is_eval and args.full_utterance and args.unwindowed
+    ):
+        # fail loud: silently scoring windowed/single-device while the
+        # user believes they ran sequence-parallel would be worse
+        print("ERROR: --seq_parallel requires --is_eval "
+              "--full_utterance --unwindowed (it shards the frame axis "
+              "of whole-clip forwards)")
         return 2
 
     # multi-host wiring: no-op single-process; on pods/SLURM (or with

@@ -69,14 +69,21 @@ def sp_mesh(
 def sp_model_config(model_cfg, axis: str = "seq"):
     """ModelConfig adjusted for sequence-parallel execution.
 
-    Sets ``encoder.seq_axis`` and disables the Pallas SAE kernel
-    (Pallas calls don't shard transparently; the XLA SAE path is
-    numerically identical — tests/test_sae.py).
+    Sets ``encoder.seq_axis`` and disables every Pallas kernel that
+    is not already gated on seq_axis: the fused SAE and the fused
+    frontend (Pallas calls don't shard transparently; the XLA paths
+    are numerically identical — tests/test_sae.py,
+    tests/test_frontend_kernel.py).
     """
     enc = model_cfg.encoder
-    if enc.seq_axis != axis:
+    if enc.seq_axis != axis or enc.fused_frontend:
+        # fused_frontend is a Pallas custom call too — cleared here so
+        # every Pallas kernel is off under SP, not just attention/SAE
         model_cfg = dataclasses.replace(
-            model_cfg, encoder=dataclasses.replace(enc, seq_axis=axis)
+            model_cfg,
+            encoder=dataclasses.replace(
+                enc, seq_axis=axis, fused_frontend=False
+            ),
         )
     if getattr(model_cfg, "sae", None) is not None and model_cfg.sae.use_pallas:
         model_cfg = dataclasses.replace(

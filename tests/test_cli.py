@@ -79,6 +79,17 @@ def test_explicit_missing_cp_path_is_an_error(tmp_path):
                  "--cp_path", "/nonexistent.pt"]) == 2
 
 
+def test_seq_parallel_requires_unwindowed_eval():
+    """--seq_parallel only applies to un-windowed full-utterance eval;
+    anything else must fail loud, not silently score single-device."""
+    from sls_tpu.cli.main import main
+
+    assert main(["--tiny", "--seq_parallel", "2"]) == 2
+    assert main(["--tiny", "--is_eval", "--seq_parallel", "2"]) == 2
+    assert main(["--tiny", "--is_eval", "--full_utterance",
+                 "--seq_parallel", "2"]) == 2
+
+
 def test_config_from_args_variants():
     parser = build_parser()
     cfg = config_from_args(parser.parse_args(["--use_window_topk",
