@@ -101,6 +101,56 @@ def test_sp_composes_with_int8_serving(base):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_sp_train_step_matches_unsharded(base):
+    """Loss + scores of one dp2 x sp4 train step == the single-device
+    step — the seq annotations must be grad-transparent in VALUE, not
+    just compile (the dryrun proves compile; this proves numerics)."""
+    import dataclasses
+
+    from sls_tpu.config import ExperimentConfig, TrainConfig
+    from sls_tpu.train.steps import create_train_state, make_train_step
+    from tests.test_detector_train import synthetic_batch
+
+    model_cfg, *_ = base
+    cfg = ExperimentConfig(
+        model=model_cfg,
+        train=TrainConfig(batch_size=8, lr=1e-3, cut_length=WAV_LEN),
+    )
+    rng = np.random.default_rng(0)
+    wav_np, y_np = synthetic_batch(rng, 8)
+    wav = jnp.asarray(np.asarray(wav_np))
+    labels = jnp.asarray(np.asarray(y_np))
+    valid = jnp.ones((8,), bool)
+    key = jax.random.PRNGKey(0)
+
+    model = Detector(cfg.model)
+    state0 = create_train_state(model, cfg, key, wav[:2])
+    ref_step = make_train_step(model, cfg, mesh=None)
+    _, ref_metrics = ref_step(state0, wav, labels, valid, key)
+
+    sp_cfg = dataclasses.replace(cfg, model=sp_model_config(cfg.model))
+    sp_model = Detector(sp_cfg.model)
+    mesh = sp_mesh(4, n_data=2)
+    with jax.sharding.set_mesh(mesh):
+        from sls_tpu.parallel.mesh import replicate, shard_batch
+
+        state_sp = replicate(
+            create_train_state(sp_model, sp_cfg, key, wav[:2]), mesh
+        )
+        sp_step = make_train_step(sp_model, sp_cfg, mesh)
+        wav_s, labels_s, valid_s = shard_batch((wav, labels, valid), mesh)
+        _, sp_metrics = sp_step(state_sp, wav_s, labels_s, valid_s, key)
+        sp_loss = float(sp_metrics["loss"])
+        sp_scores = np.asarray(sp_metrics["scores"])
+
+    np.testing.assert_allclose(
+        sp_loss, float(ref_metrics["loss"]), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        sp_scores, np.asarray(ref_metrics["scores"]), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_sp_program_contains_gather(base):
     """The compiled SP program must actually communicate: attention
     needs full keys/values, so the HLO contains an all-gather (or its
