@@ -101,6 +101,31 @@ def test_sp_composes_with_int8_serving(base):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("variant", ["window_overlap", "window_hard"])
+def test_sp_windowed_sae_variants(base, variant):
+    """The windowed SAE rules reduce over the frame axis (coverage-
+    matrix matmul / reduce_window) — under SP that axis is sharded, so
+    GSPMD must insert halo exchanges; prove the scores still match."""
+    import dataclasses
+
+    cfg, wav, _, _ = base
+    cfg = dataclasses.replace(
+        cfg, sae=dataclasses.replace(cfg.sae, variant=variant,
+                                     window_size=4)
+    )
+    model = Detector(cfg)
+    params = model.init(jax.random.PRNGKey(0), wav[:1], train=False)[
+        "params"
+    ]
+    ref = np.asarray(
+        model.apply({"params": params}, wav, train=False)["score"]
+    )
+    fwd = sp_scoring_fn(Detector(sp_model_config(cfg)), sp_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(fwd(params, wav)), ref, rtol=2e-5, atol=2e-5
+    )
+
+
 def test_sp_train_step_matches_unsharded(base):
     """Loss + scores of one dp2 x sp4 train step == the single-device
     step — the seq annotations must be grad-transparent in VALUE, not
