@@ -102,8 +102,21 @@ def main(argv=None) -> int:
     )
 
     model, cfg = build_flagship(args.pallas)
-    forward, params, wav = init_flagship(model, args.batch)
+    _, params, wav = init_flagship(model, args.batch)
     wire = "int16" if args.wire_int16 else "float32"
+
+    # mirror the production eval step (train/steps.py make_eval_step):
+    # dequantize the wire format INSIDE the jitted program — without
+    # this an int16 batch reaches the conv 32768x scaled and the score
+    # file is garbage (the float32 path compiles to a no-op)
+    from sls_tpu.train.steps import dequantize_wire
+
+    @jax.jit
+    def forward(params, w):
+        return model.apply(
+            {"params": params}, dequantize_wire(w), train=False
+        )["score"]
+
     if args.wire_int16:
         from sls_tpu.data.pipeline import to_wire
 
