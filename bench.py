@@ -40,6 +40,39 @@ BASELINE_UTTS_PER_SEC = 30.0  # documented estimate, see module docstring
 V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e (lite) bf16 peak per chip
 
 
+def setup_compile_cache():
+    """Point jax at the shared persistent compile cache (idempotent)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def time_pipelined(fn, *args, iters=16, warmup=3):
+    """Steady-state seconds/call, relay-correct: dispatch ``iters``
+    async calls and force completion by fetching only the LAST result
+    (device execution is in-order, so that bounds all prior work;
+    ``block_until_ready`` alone returns early on the axon relay).
+
+    The canonical copy — every bench script that times a jitted fn
+    with array outputs must use this, not a private variant (pytree/
+    TrainState outputs need the ``_force`` sum variant in
+    bench_step_calib.py/bench_train_profile.py).
+    """
+    import jax
+
+    for _ in range(warmup):
+        jax.device_get(fn(*args))
+    start = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(out)
+    return (time.time() - start) / iters
+
+
 def flops_per_utterance(cfg, wav_len: int = 64600) -> float:
     """Analytic forward FLOPs for one utterance through the detector
     (2*MACs for every conv/matmul; elementwise ops ignored — they are
@@ -185,7 +218,7 @@ def main(argv=None) -> int:
             print(json.dumps({
                 "metric": "4s-utterances/sec/chip (XLS-R-300M eval)",
                 "value": 0.0,
-                "unit": "utts/sec/chip", "vs_baseline": 0.0,
+                "unit": "utterances/sec/chip", "vs_baseline": 0.0,
                 "error": f"jax backend unavailable: {probe_err}",
             }))
             return 1

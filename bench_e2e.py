@@ -139,9 +139,12 @@ def main(argv=None) -> int:
     from sls_tpu.data.flac import decode_batch
 
     t0 = time.time()
+    n_native = 0
     for i in range(0, min(args.n_utts, 360), args.batch):
-        decode_batch(index.paths[i:i + args.batch], WAV_LEN, n_threads=4)
-    native_ups = min(args.n_utts, 360) / (time.time() - t0)
+        chunk = index.paths[i:i + args.batch]
+        decode_batch(chunk, WAV_LEN, n_threads=4)
+        n_native += len(chunk)
+    native_ups = n_native / (time.time() - t0)
     print(f"# native-decode: {native_ups:.1f} utts/s", file=sys.stderr)
 
     # component rate 3: host->device upload bandwidth for one batch

@@ -25,17 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bench import build_flagship, flops_per_utterance, init_flagship
-
-
-def _time_fn(fn, *args, iters=8, warmup=2):
-    for _ in range(warmup):
-        jax.device_get(fn(*args))
-    start = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out)
-    return (time.time() - start) / iters
+from bench import (build_flagship, flops_per_utterance, init_flagship,
+                   time_pipelined)
 
 
 def raw_matmul(n: int = 8192, iters: int = 8):
@@ -55,8 +46,8 @@ def raw_matmul(n: int = 8192, iters: int = 8):
         return jax.lax.dot(a, b, preferred_element_type=jnp.float32).sum()
 
     flop = 2.0 * n * n * n
-    t_i8 = _time_fn(mm_i8, a8, b8, iters=iters)
-    t_bf = _time_fn(mm_bf16, ab, bb, iters=iters)
+    t_i8 = time_pipelined(mm_i8, a8, b8, iters=iters, warmup=2)
+    t_bf = time_pipelined(mm_bf16, ab, bb, iters=iters, warmup=2)
     return {
         "n": n,
         "int8_tflops": round(flop / t_i8 / 1e12, 1),
@@ -73,11 +64,16 @@ def flagship(batch: int = 36, iters: int = 16):
     fwd_fp, params, wav = init_flagship(model_fp, batch)
     gflop = flops_per_utterance(cfg) / 1e9
 
-    t_fp = _time_fn(fwd_fp, params, wav, iters=iters, warmup=3)
+    t_fp = time_pipelined(fwd_fp, params, wav, iters=iters, warmup=3)
     out["bf16_utts_per_sec"] = round(batch / t_fp, 1)
 
+    # explicit FULL scope: build_flagship pins int8_scope='ffn' (the
+    # serving default), but this script's documented measurement — and
+    # the 0.94x negative result recorded in BENCH_NOTES_r3 — is the
+    # all-matmuls configuration; bench_int8_scope.py compares the two
     cfg_q = dataclasses.replace(
-        cfg, encoder=dataclasses.replace(cfg.encoder, int8_serving=True))
+        cfg, encoder=dataclasses.replace(
+            cfg.encoder, int8_serving=True, int8_scope="all"))
     from sls_tpu.models.detector import Detector
 
     model_q = Detector(cfg_q)
@@ -95,7 +91,7 @@ def flagship(batch: int = 36, iters: int = 16):
     out["score_max_abs_diff"] = round(
         float(np.max(np.abs(s_q - s_fp))), 4)
 
-    t_q = _time_fn(fwd_q, params, wav, iters=iters, warmup=3)
+    t_q = time_pipelined(fwd_q, params, wav, iters=iters, warmup=3)
     out["int8_utts_per_sec"] = round(batch / t_q, 1)
     out["speedup"] = round(t_fp / t_q, 2)
     out["batch"] = batch

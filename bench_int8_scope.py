@@ -14,18 +14,8 @@ import numpy as np
 
 import jax
 
-from bench import build_flagship, init_flagship
+from bench import build_flagship, init_flagship, time_pipelined
 from sls_tpu.models.detector import Detector
-
-
-def _time_fn(fn, *args, iters=16, warmup=3):
-    for _ in range(warmup):
-        jax.device_get(fn(*args))
-    start = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out)
-    return (time.time() - start) / iters
 
 
 def main() -> int:
@@ -33,7 +23,7 @@ def main() -> int:
     model_fp, cfg = build_flagship()
     fwd_fp, params, wav = init_flagship(model_fp, batch)
     out = {"batch": batch}
-    t_fp = _time_fn(fwd_fp, params, wav)
+    t_fp = time_pipelined(fwd_fp, params, wav)
     out["bf16_utts_per_sec"] = round(batch / t_fp, 1)
 
     for scope in ("ffn", "all"):
@@ -55,7 +45,7 @@ def main() -> int:
         s_fp = jax.device_get(fwd_fp(params, wav))
         out[f"int8_{scope}_score_max_abs_diff"] = round(
             float(np.max(np.abs(s_q - s_fp))), 4)
-        t_q = _time_fn(fwd_q, params, wav)
+        t_q = time_pipelined(fwd_q, params, wav)
         out[f"int8_{scope}_utts_per_sec"] = round(batch / t_q, 1)
         out[f"int8_{scope}_speedup"] = round(t_fp / t_q, 2)
     print(json.dumps(out))

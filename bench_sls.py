@@ -101,7 +101,7 @@ def main(argv=None) -> int:
     print(json.dumps({
         "metric": "4s-utterances/sec/chip (XLS-R-300M + SLS head eval)",
         "value": round(utts_per_sec, 2),
-        "unit": "utts/sec/chip",
+        "unit": "utterances/sec/chip",
         "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 2),
         "tflops": round(tflops, 1),
         "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),

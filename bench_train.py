@@ -34,7 +34,8 @@ def run_config(batch: int, remat: bool, iters: int = 8,
             encoder=XLSRConfig(dtype=jnp.bfloat16, remat=remat),
             use_sae=True,
             use_sparse_features=True,
-            sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128),
+            sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
+                          use_pallas=pallas_sae),
         ),
         train=TrainConfig(batch_size=batch, lr=1e-6),
     )

@@ -436,6 +436,13 @@ def main(argv=None) -> int:
     if args.resume and args.fresh_start:
         print("ERROR: --resume and --fresh_start are mutually exclusive")
         return 2
+    if args.unwindowed and not (args.is_eval and args.full_utterance):
+        # same fail-loud policy as --seq_parallel below: silently
+        # falling back to the fixed 64,600-sample crop would score a
+        # different model behavior than the user asked for
+        print("ERROR: --unwindowed requires --is_eval --full_utterance "
+              "(it scores whole clips in one forward)")
+        return 2
     if args.seq_parallel > 1 and not (
         args.is_eval and args.full_utterance and args.unwindowed
     ):

@@ -4,8 +4,10 @@ The reference ships 8 near-identical sweep jobs (train_k32.slurm:48-62,
 train_k64.slurm, train_k128_sparse.slurm, train_k256.slurm,
 train_dict8192.slurm, train_window_topk.slurm, train_cpc.slurm,
 train_asvspoof_df.slurm), each = fixed hyperparameters + a comment tag
-+ resume-if-checkpoint-exists.  This runner drives the same matrix
-sequentially and resumably:
++ resume-if-checkpoint-exists; the last is a hyperparameter-duplicate
+of train_k128_sparse.slurm (LA track, k128/dict4096 — only the tag
+differs), so the preset has 7 distinct points.  This runner drives the
+same matrix sequentially and resumably:
 
     python -m sls_tpu.cli.sweep --preset reference -- \\
         --database_path ... --num_epochs 40
@@ -33,9 +35,13 @@ from typing import Dict, List, Optional
 
 from sls_tpu.cli.monitor import read_log
 
-# the reference's 8 sweep jobs, verbatim hyperparameters
+# the reference's 8 training sweep jobs as 7 DISTINCT configurations
 # (train_k*.slurm, train_dict8192.slurm, train_window_topk.slurm,
-# train_cpc.slurm; all: bs 14, lr 1e-6, wd 1e-4, 40 epochs, LA track)
+# train_cpc.slurm; all: bs 14, lr 1e-6, wd 1e-4, 40 epochs, LA track).
+# The 8th job, train_asvspoof_df.slurm, is hyperparameter-identical to
+# train_k128_sparse.slurm — despite its name it trains --track=LA with
+# k=128/dict=4096 (train_asvspoof_df.slurm:48-62) and differs only in
+# --comment (run-dir tag), so it is deliberately not duplicated here.
 REFERENCE_PRESET = [
     {"tag": "k32_sparse_4096dim", "sae_k": 32, "sae_dict_size": 4096},
     {"tag": "k64_sparse", "sae_k": 64, "sae_dict_size": 4096},
@@ -125,7 +131,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="hyperparameter sweep runner")
     sel = p.add_mutually_exclusive_group(required=True)
     sel.add_argument("--preset", choices=["reference"],
-                     help="the reference's 8-job k/dict/window/cpc matrix")
+                     help="the reference's k/dict/window/cpc sweep "
+                          "matrix (8 jobs, 7 distinct configs — see "
+                          "REFERENCE_PRESET)")
     sel.add_argument("--grid", nargs="+",
                      help="axes like k=32,64,128 dict=4096,8192")
     p.add_argument("--model_dir", default="models")

@@ -113,6 +113,16 @@ class XLSRConfig:
     # parallel/sequence.py applies the full recipe.  None = off.
     seq_axis: Optional[str] = None
 
+    def __post_init__(self):
+        # programmatic construction bypasses the CLI's choices= guard,
+        # and an unknown scope would silently behave as "ffn" (only the
+        # attention layer checks == "all") — reject it here instead
+        if self.int8_scope not in ("ffn", "all"):
+            raise ValueError(
+                f"int8_scope must be 'ffn' or 'all', got "
+                f"{self.int8_scope!r}"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads

@@ -88,6 +88,9 @@ def test_seq_parallel_requires_unwindowed_eval():
     assert main(["--tiny", "--is_eval", "--seq_parallel", "2"]) == 2
     assert main(["--tiny", "--is_eval", "--full_utterance",
                  "--seq_parallel", "2"]) == 2
+    # --unwindowed outside full-utterance eval: same fail-loud policy
+    assert main(["--tiny", "--unwindowed"]) == 2
+    assert main(["--tiny", "--is_eval", "--unwindowed"]) == 2
 
 
 def test_config_from_args_variants():
