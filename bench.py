@@ -179,12 +179,17 @@ def main(argv=None) -> int:
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         default=True,
                         help="disable the fused Pallas SAE kernel")
+    # The headline metric stays pure bf16 — the precision every prior
+    # round's series was recorded at, and the parity-path precision.
     # int8-ffn is the measured-best SERVING config (1.14x, reachable in
-    # the CLI via --int8); --no_int8 reproduces the pure-bf16 number
-    parser.add_argument("--no_int8", dest="int8", action="store_false",
-                        default=True,
-                        help="disable dynamic int8 on the FFN GEMMs "
-                        "(pure bf16: ~860 utts/s vs ~970 with it)")
+    # the CLI via --int8) but is OPT-IN here so the tracked series never
+    # silently changes precision, and because its accuracy cost is
+    # quantified separately (BENCH_NOTES int8_eer_cost).
+    parser.add_argument("--int8", dest="int8", action="store_true",
+                        default=False,
+                        help="serve with dynamic int8 on the FFN GEMMs "
+                        "(~970 utts/s vs ~860 pure bf16; changes the "
+                        "metric label, not the tracked headline)")
     # bounded backend probe BEFORE touching jax in-process: the relayed
     # TPU backend can hang indefinitely at init when the relay is down
     # (observed: >28 min, then UNAVAILABLE), and a bench that never
@@ -262,22 +267,27 @@ def main(argv=None) -> int:
     gflop_utt = flops_per_utterance(cfg) / 1e9
     tflops = utts_per_sec * gflop_utt / 1e3
     print(f"# analytic {gflop_utt:.1f} GFLOP/utt", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "4s-utterances/sec/chip (XLS-R-300M eval)",
-                "value": round(utts_per_sec, 2),
-                "unit": "utterances/sec/chip",
-                "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 2),
-                "tflops": round(tflops, 1),
-                "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
-                "gflop_per_utt": round(gflop_utt, 1),
-                "precision": ("bf16 + dynamic-int8 FFN (serving config; "
-                              "--no_int8 for pure bf16)"
-                              if args.int8 else "bf16 (fp32 islands)"),
-            }
-        )
-    )
+    out = {
+        # metric name changes under --int8 so the bf16 series is never
+        # silently mixed with a different precision
+        "metric": ("4s-utterances/sec/chip (XLS-R-300M eval, int8-ffn)"
+                   if args.int8
+                   else "4s-utterances/sec/chip (XLS-R-300M eval)"),
+        "value": round(utts_per_sec, 2),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 2),
+        "tflops": round(tflops, 1),
+        "gflop_per_utt": round(gflop_utt, 1),
+        "precision": ("bf16 + dynamic-int8 FFN (serving config)"
+                      if args.int8 else "bf16 (fp32 islands)"),
+    }
+    if args.int8:
+        # FFN GEMMs run int8 while the analytic FLOP count and peak are
+        # bf16 — report the ratio as a labeled bf16-equivalent, not MFU
+        out["mfu_bf16_equiv"] = round(tflops / V5E_BF16_PEAK_TFLOPS, 3)
+    else:
+        out["mfu"] = round(tflops / V5E_BF16_PEAK_TFLOPS, 3)
+    print(json.dumps(out))
     return 0
 
 

@@ -159,18 +159,28 @@ def config_from_args(args) -> "ExperimentConfig":
     else:
         variant = "per_timestep"
 
+    # int8 is a SERVING config: honor --int8 only under --is_eval.  In a
+    # training run the flag would otherwise flip every deterministic
+    # forward — including mid-training validation — to quantized
+    # numerics, so val EER and best-checkpoint selection would silently
+    # ride a ~0.01 score deviation the flag is documented not to touch.
+    int8 = getattr(args, "int8", False) and getattr(args, "is_eval", False)
+    if getattr(args, "int8", False) and not int8:
+        print("NOTE: --int8 is serving-only; ignored for this training "
+              "run (validation stays exact-precision). Pass it with "
+              "--is_eval to serve quantized.")
     if getattr(args, "tiny", False):
         from sls_tpu.config import tiny_xlsr_config
 
         encoder = tiny_xlsr_config(
-            int8_serving=getattr(args, "int8", False),
+            int8_serving=int8,
             int8_scope=getattr(args, "int8_scope", "ffn"),
         )
         act_dim = encoder.embed_dim
     else:
         encoder = XLSRConfig(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                              remat=args.remat,
-                             int8_serving=getattr(args, "int8", False),
+                             int8_serving=int8,
                              int8_scope=getattr(args, "int8_scope", "ffn"))
         act_dim = 1024
 

@@ -196,12 +196,13 @@ def diff_scores(ours_path, ref_path, tolerance: float) -> Dict[str, Any]:
     our_ids, our_s = read_score_file(ours_path)
     ref_ids, ref_s = read_score_file(ref_path)
     ref_map = dict(zip(ref_ids, ref_s))
+    our_map = dict(zip(our_ids, our_s))
     common = [u for u in our_ids if u in ref_map]
     if not common:
         return {"ok": False, "error": "no common utterance ids",
                 "n_ours": len(our_ids), "n_ref": len(ref_ids)}
-    ours = np.asarray([our_s[our_ids.index(u)] for u in common]) \
-        if len(common) != len(our_ids) else our_s
+    ours = (np.asarray([our_map[u] for u in common])
+            if len(common) != len(our_ids) else our_s)
     ref = np.asarray([ref_map[u] for u in common])
     d = np.abs(ours - ref)
     # decision flips at the P(bonafide)=0.5 boundary — what EER feels
@@ -210,6 +211,7 @@ def diff_scores(ours_path, ref_path, tolerance: float) -> Dict[str, Any]:
     report = {
         "n_compared": len(common),
         "n_missing_in_ref": len(our_ids) - len(common),
+        "n_missing_in_ours": sum(1 for u in ref_ids if u not in our_map),
         "max_abs_diff": float(d.max()),
         "mean_abs_diff": float(d.mean()),
         "pearson": corr,

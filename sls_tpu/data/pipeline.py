@@ -18,6 +18,7 @@ thread-prefetched loader that emits fixed-shape numpy batches:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -153,6 +154,7 @@ class BatchLoader:
         prefetch: int = 4,
         limit_batches: Optional[int] = None,
         wire_dtype: str = "float32",
+        decode_threads: int = 0,
     ):
         self.index = index
         self.batch_size = batch_size
@@ -160,6 +162,12 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_threads = max(1, num_threads)
+        # native decode threads PER producer; 0 = auto (host cores spread
+        # across the live producers, so total decode parallelism tracks
+        # the machine instead of a fixed constant — a hard cap of 4 was
+        # measured fine on the 1-core bench image but starves many-core
+        # production hosts)
+        self.decode_threads = decode_threads
         self.prefetch = prefetch
         self.limit_batches = limit_batches
         to_wire(np.zeros(1, np.float32), wire_dtype)  # validate early
@@ -186,6 +194,10 @@ class BatchLoader:
         stop = threading.Event()
 
         all_flac = all(p.suffix.lower() == ".flac" for p in self.index.paths)
+        n_producers = min(self.num_threads, max(n_batches, 1))
+        decode_threads = self.decode_threads or max(
+            1, (os.cpu_count() or 1) // n_producers
+        )
 
         def assemble(batch_idx: int) -> Batch:
             lo = batch_idx * self.batch_size
@@ -208,7 +220,7 @@ class BatchLoader:
 
                 wavs = decode_batch(
                     [self.index.paths[i] for i in sel], self.cut,
-                    n_threads=min(4, max(1, self.num_threads)),
+                    n_threads=decode_threads,
                     dtype=self.wire_dtype,
                 )
             else:
@@ -249,7 +261,7 @@ class BatchLoader:
 
         threads = [
             threading.Thread(target=producer, args=(w,), daemon=True)
-            for w in range(min(self.num_threads, max(n_batches, 1)))
+            for w in range(n_producers)
         ]
         for t in threads:
             t.start()

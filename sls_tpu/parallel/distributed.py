@@ -239,20 +239,27 @@ def merge_part_files(out_path) -> None:
     if jax.process_count() == 1:
         return
     sync_hosts("parts-written")
+    missing = []
     if is_primary():
-        import shutil
-
         missing = [
             f"{out_path}.part{i}"
             for i in range(jax.process_count())
             if not os.path.exists(f"{out_path}.part{i}")
         ]
-        if missing:
-            raise FileNotFoundError(
-                f"merge_part_files: missing {missing} — part files must "
-                "be written to storage shared by all hosts (NFS/GCS); "
-                "host-local disks cannot be merged by the primary."
-            )
+    # broadcast the missing-parts verdict BEFORE anyone raises: if only
+    # the primary raised, every other host would block forever at the
+    # final barrier — a distributed hang instead of a loud failure
+    any_missing = float(allreduce_sum_scalars([float(len(missing))])[0])
+    if any_missing:
+        raise FileNotFoundError(
+            f"merge_part_files: primary is missing {int(any_missing)} "
+            f"part file(s){' ' + str(missing) if missing else ''} — part "
+            "files must be written to storage shared by all hosts "
+            "(NFS/GCS); host-local disks cannot be merged by the primary."
+        )
+    if is_primary():
+        import shutil
+
         with open(out_path, "wb") as fout:
             for i in range(jax.process_count()):
                 part = f"{out_path}.part{i}"

@@ -132,3 +132,57 @@ def test_two_process_training_lockstep(tmp_path):
     assert sorted(ids) == sorted(f"utt_{i}" for i in range(24))
     assert np.isfinite(scores).all()
     assert not list(tmp_path.glob("scores.txt.part*"))
+
+
+class TestMergePartFilesFailLoud:
+    """The missing-part verdict must be BROADCAST before anyone raises
+    (otherwise non-primary hosts block forever at the final barrier —
+    a distributed hang instead of a loud failure)."""
+
+    def _patch(self, monkeypatch, primary: bool, reduce_fn):
+        calls = []
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(dist, "is_primary", lambda: primary)
+        monkeypatch.setattr(dist, "sync_hosts",
+                            lambda name="sync": calls.append(name))
+
+        def reduce(values):
+            calls.append("allreduce")
+            return reduce_fn(values)
+
+        monkeypatch.setattr(dist, "allreduce_sum_scalars", reduce)
+        return calls
+
+    def test_primary_missing_part_raises_after_broadcast(
+        self, monkeypatch, tmp_path
+    ):
+        out = tmp_path / "scores.txt"
+        (tmp_path / "scores.txt.part0").write_bytes(b"u0 0.5\n")
+        # part1 missing; single-process allreduce is identity
+        calls = self._patch(monkeypatch, True, lambda v: np.asarray(v))
+        with pytest.raises(FileNotFoundError, match="shared"):
+            dist.merge_part_files(out)
+        # verdict was broadcast BEFORE the raise, and we never reached
+        # the post-merge barrier
+        assert calls == ["parts-written", "allreduce"]
+        assert not out.exists()
+
+    def test_nonprimary_raises_on_primary_verdict(
+        self, monkeypatch, tmp_path
+    ):
+        # non-primary has no local knowledge of missing parts; the
+        # allreduce carries the primary's verdict (sum >= 1)
+        calls = self._patch(monkeypatch, False, lambda v: np.asarray([1.0]))
+        with pytest.raises(FileNotFoundError):
+            dist.merge_part_files(tmp_path / "scores.txt")
+        assert calls == ["parts-written", "allreduce"]
+
+    def test_all_parts_present_merges(self, monkeypatch, tmp_path):
+        out = tmp_path / "scores.txt"
+        (tmp_path / "scores.txt.part0").write_bytes(b"u0 0.5\n")
+        (tmp_path / "scores.txt.part1").write_bytes(b"u1 0.25\n")
+        calls = self._patch(monkeypatch, True, lambda v: np.asarray(v))
+        dist.merge_part_files(out)
+        assert out.read_bytes() == b"u0 0.5\nu1 0.25\n"
+        assert not list(tmp_path.glob("scores.txt.part*"))
+        assert calls == ["parts-written", "allreduce", "parts-merged"]

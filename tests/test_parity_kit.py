@@ -161,3 +161,23 @@ def test_kit_detects_divergence(kit_setup, tmp_path):
         "--fp32",
     ])
     assert rc == 1
+
+
+def test_diff_scores_misaligned_ids(tmp_path):
+    """Partial id overlap: alignment must be keyed by id (hash map, not a
+    quadratic index() scan — the DF eval list is ~600k utts) and both
+    missing directions must be reported."""
+    ours = tmp_path / "ours.txt"
+    ref = tmp_path / "ref.txt"
+    # ours: u0..u4; ref: u1..u5 shuffled -> common u1..u4, one missing
+    # on each side; values differ per id so misalignment would be loud
+    ours.write_text("".join(f"u{i} {0.1 * i:.6f}\n" for i in range(5)))
+    ref.write_text(
+        "".join(f"u{i} {0.1 * i:.6f}\n" for i in (3, 5, 1, 4, 2))
+    )
+    report = diff_scores(ours, ref, tolerance=1e-6)
+    assert report["n_compared"] == 4
+    assert report["n_missing_in_ref"] == 1   # u0
+    assert report["n_missing_in_ours"] == 1  # u5
+    assert report["max_abs_diff"] < 1e-12    # id-keyed alignment exact
+    assert report["ok"]

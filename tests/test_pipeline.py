@@ -152,3 +152,22 @@ class TestInt16Wire:
         # float input passes through untouched
         same = jax.jit(dequantize_wire)(jnp.asarray(wav_f))
         np.testing.assert_array_equal(np.asarray(same), wav_f)
+
+
+def test_loader_decode_threads_equivalence(flac_dataset):
+    """decode_threads plumbing: explicit thread counts (and the 0=auto
+    default, which scales with host cores instead of a hard cap of 4)
+    must produce identical batches on the native FLAC path."""
+    base, utts, labels = flac_dataset
+    index = DatasetIndex.for_train(utts, labels, base)
+
+    def batches(**kw):
+        loader = BatchLoader(index, batch_size=4, cut=800, **kw)
+        return [(b.utt_ids, b.wav.copy()) for b in loader.epoch(0)]
+
+    ref = batches(decode_threads=1)
+    for kw in ({"decode_threads": 3}, {}):  # explicit and auto
+        got = batches(**kw)
+        assert [ids for ids, _ in got] == [ids for ids, _ in ref]
+        for (_, a), (_, b) in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
