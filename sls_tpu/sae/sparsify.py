@@ -159,8 +159,20 @@ def window_topk_overlap(acts: jnp.ndarray, k: int, window: int) -> jnp.ndarray:
 
     # Per-window feature scores: summed activation over the window.
     # reduce_window implements the strided sliding sum without gathers.
+    # stop_gradient is BOTH required and correct here: (a) semantics —
+    # window_sums only feeds the top-k selection mask, which is
+    # piecewise-constant w.r.t. the activations exactly like the
+    # reference's torch.topk indices (model_window_topk.py:118-203:
+    # gradients flow through `acts * mask`, never through the index
+    # computation); (b) jax 0.9.0 cannot linearize reduce_window under
+    # jit(grad) ("Linearization failed to produce known values"), while
+    # the primal-only path compiles fine — regression-tested by
+    # tests/test_detector_train.py window-variant training.
+    # (stop_gradient on the INPUT, not the output: jax's linearizer
+    # still visits the primitive when its operand carries a tangent,
+    # even into a stop_gradient — only a tangent-free operand skips it)
     window_sums = jax.lax.reduce_window(
-        x,
+        jax.lax.stop_gradient(x),
         jnp.array(0, x.dtype),
         jax.lax.add,
         window_dimensions=(1, window, 1),

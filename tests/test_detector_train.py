@@ -168,6 +168,35 @@ class TestShardedTraining:
         # separable toy task: loss must drop
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
+    @pytest.mark.parametrize("variant", ["window_overlap", "window_hard"])
+    def test_window_variant_train_step(self, mesh, variant):
+        """Training must work for the WINDOW variants too — the
+        reference's headline w=8 model is trained, not just scored
+        (model_window_topk.py).  Regression: jax 0.9.0 cannot linearize
+        reduce_window under jit(grad); window_topk_overlap routes the
+        window-sum through a tangent-free operand (sparsify.py), which
+        this guards — the bug only manifests inside jit, never in eager
+        grad, so only a jitted train step catches it."""
+        cfg = tiny_experiment(
+            tiny_model_config(
+                sae=SAEConfig(activation_dim=64, dict_size=256, k=32,
+                              variant=variant, window_size=8),
+            )
+        )
+        model = Detector(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(model, cfg, rng, jnp.zeros((2, WAV_LEN)))
+        step = make_train_step(model, cfg)
+        data_rng = np.random.default_rng(3)
+        losses = []
+        for _ in range(8):
+            wav, labels = synthetic_batch(data_rng, 16)
+            state, metrics = step(state, wav, labels,
+                                  jnp.ones(16, bool), rng)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]  # separable toy task: must learn
+
     def test_eval_step_sharded(self, mesh):
         cfg = tiny_experiment()
         model = Detector(cfg.model)
