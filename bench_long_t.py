@@ -26,7 +26,28 @@ def main(argv=None) -> int:
                         default=[1280, 2560])
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=6)
+    parser.add_argument("--seq_parallel", type=int, default=0,
+                        help="N>0: run each length additionally under a "
+                             "('data','seq') 1xN mesh with the frame axis "
+                             "sharded (parallel/sequence.py) — the SP "
+                             "long-T path with the per-shard flash kernel. "
+                             "On the 1-chip bench host this exercises the "
+                             "virtual CPU mesh (compile/correctness, not "
+                             "perf); on an N-chip slice it measures.")
     args = parser.parse_args(argv)
+
+    if args.seq_parallel:
+        import jax as _jax
+
+        if not _jax._src.xla_bridge._backends and args.seq_parallel > 1:
+            # provision enough devices BEFORE backend init when the host
+            # has a single chip (same technique as __graft_entry__)
+            import os
+
+            if os.environ.get("SLS_TPU_REAL_MULTICHIP") != "1":
+                _jax.config.update("jax_platforms", "cpu")
+                _jax.config.update(
+                    "jax_num_cpu_devices", int(args.seq_parallel))
 
     import jax
     import jax.numpy as jnp
@@ -82,6 +103,47 @@ def main(argv=None) -> int:
                 }
             except Exception as exc:  # OOM at long T is a result too
                 row[name] = {"error": f"{type(exc).__name__}: {exc}"[:160]}
+        if args.seq_parallel:
+            from sls_tpu.parallel.mesh import replicate
+            from sls_tpu.parallel.sequence import sp_mesh
+
+            n = args.seq_parallel
+            for name, flash in (("sp_xla", 0), ("sp_flash", t)):
+                cfg = dataclasses.replace(
+                    base, flash_long_t=flash, seq_axis="seq")
+                model = XLSREncoder(cfg)
+                mesh = sp_mesh(n, jax.devices()[:n], n_data=1)
+                jfwd = jax.jit(
+                    lambda p, w, model=model: jnp.sum(
+                        model.apply({"params": p}, w, train=False))
+                )
+                with jax.sharding.set_mesh(mesh):
+                    p_sp = replicate(params, mesh)
+                    wav_sp = replicate(wav, mesh)
+
+                def fwd(p, w, jfwd=jfwd, mesh=mesh,
+                        p_sp=p_sp, wav_sp=wav_sp):
+                    with jax.sharding.set_mesh(mesh):
+                        return jfwd(p_sp, wav_sp)
+                try:
+                    t0 = time.time()
+                    float(jax.device_get(fwd(params, wav)))
+                    print(f"# T={t} {name}(n={n}): compile+first "
+                          f"{time.time() - t0:.1f}s", file=sys.stderr)
+                    start = time.time()
+                    for _ in range(args.iters):
+                        out = fwd(params, wav)
+                    float(jax.device_get(out))
+                    dt = (time.time() - start) / args.iters
+                    row[name] = {
+                        "ms_per_clip": round(1e3 * dt / args.batch, 1),
+                        "clips_per_sec": round(args.batch / dt, 2),
+                        "n_seq": n,
+                    }
+                except Exception as exc:
+                    row[name] = {
+                        "error": f"{type(exc).__name__}: {exc}"[:160]}
+
         if "ms_per_clip" in row.get("xla", {}) and \
            "ms_per_clip" in row.get("flash", {}):
             row["flash_speedup"] = round(

@@ -344,6 +344,36 @@ class SelfAttention(nn.Module):
         k = proj("k_proj")(x).reshape(B, T, H, D)
         v = proj("v_proj")(x).reshape(B, T, H, D)
 
+        if (cfg.flash_long_t and deterministic and cfg.seq_axis
+                and T >= cfg.flash_long_t):
+            # sequence-parallel long-T eval: Q stays on its frame shard,
+            # K/V all-gather over ICI, per-shard VMEM flash kernel via
+            # shard_map (kernels/flash_attention.py) — the one Pallas
+            # kernel that matters in exactly the regime SP targets, so
+            # it does NOT follow the bypass-all-Pallas SP rule.
+            from sls_tpu.kernels.flash_attention import (
+                sp_block_q,
+                sp_flash_attention_long,
+            )
+
+            mesh = jax.sharding.get_abstract_mesh()
+            n_seq = dict(mesh.shape).get(cfg.seq_axis, 0) if mesh else 0
+            n_data = dict(mesh.shape).get("data", 1) if mesh else 1
+            if (n_seq and T % n_seq == 0 and sp_block_q(T // n_seq)
+                    and B % max(n_data, 1) == 0):
+                ctx = sp_flash_attention_long(
+                    (q * (D ** -0.5)).reshape(B, T, C),
+                    k.reshape(B, T, C),
+                    v.reshape(B, T, C),
+                    num_heads=H,
+                    seq_axis=cfg.seq_axis,
+                    data_axis="data" if "data" in dict(mesh.shape) else None,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return proj("out_proj")(ctx)
+            # ragged shard / indivisible layout: XLA attention below
+            # (GSPMD inserts the K/V gathers itself)
+
         if (cfg.flash_long_t and deterministic and not cfg.seq_axis
                 and T >= cfg.flash_long_t and T % 256 == 0):
             # long-T eval (un-windowed full utterances): the [B,H,T,T]

@@ -59,25 +59,31 @@ def flash_attention_long(
 ) -> jnp.ndarray:
     """Softmax(q @ k^T) @ v per head without materializing scores in HBM.
 
-    q, k, v: [B, T, C] projection outputs (q pre-scaled by Dh^-0.5),
-    C = num_heads * Dh.  Returns [B, T, C] in q's dtype.  T must be a
-    multiple of ``block_q`` (the long-T eval path pads utterances to
-    length buckets, so this holds by construction).
+    q: [B, Tq, C] and k, v: [B, Tkv, C] projection outputs (q pre-scaled
+    by Dh^-0.5), C = num_heads * Dh.  Returns [B, Tq, C] in q's dtype.
+    Tq must be a multiple of ``block_q`` (the long-T eval path pads
+    utterances to length buckets, so this holds by construction; the
+    sequence-parallel wrapper below picks block_q to divide its local
+    shard).  Tq == Tkv for plain self-attention; under sequence
+    parallelism q is the local frame shard while k/v are the gathered
+    full sequence.
     """
-    B, T, C = q.shape
+    B, Tq, C = q.shape
+    Tkv = k.shape[1]
     Dh = C // num_heads
-    if T % block_q:
-        raise ValueError(f"T={T} not a multiple of block_q={block_q}")
+    if Tq % block_q:
+        raise ValueError(f"Tq={Tq} not a multiple of block_q={block_q}")
 
     def to_bh(x):
+        t = x.shape[1]
         return (
-            x.reshape(B, T, num_heads, Dh)
+            x.reshape(B, t, num_heads, Dh)
             .transpose(0, 2, 1, 3)
-            .reshape(B * num_heads, T, Dh)
+            .reshape(B * num_heads, t, Dh)
         )
 
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    grid = (B * num_heads, T // block_q)
+    grid = (B * num_heads, Tq // block_q)
 
     out = pl.pallas_call(
         _flash_kernel,
@@ -85,22 +91,78 @@ def flash_attention_long(
         in_specs=[
             pl.BlockSpec((1, block_q, Dh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, Tkv, Dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, Tkv, Dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, Dh), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * num_heads, T, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * num_heads, Tq, Dh), q.dtype),
         interpret=interpret,
     )(qb, kb, vb)
 
     return (
-        out.reshape(B, num_heads, T, Dh)
+        out.reshape(B, num_heads, Tq, Dh)
         .transpose(0, 2, 1, 3)
-        .reshape(B, T, C)
+        .reshape(B, Tq, C)
     )
+
+
+def sp_block_q(t_local: int, preferred: int = 256, minimum: int = 128):
+    """Largest q-block <= ``preferred`` dividing the local shard length,
+    or None when the shard is too ragged for an efficient kernel."""
+    b = preferred
+    while b >= minimum:
+        if t_local % b == 0:
+            return b
+        b //= 2
+    return None
+
+
+def sp_flash_attention_long(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    seq_axis: str,
+    data_axis: str = "data",
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sequence-parallel flash attention: Q stays local, K/V all-gather.
+
+    Under sequence parallelism the frame axis of q/k/v is sharded over
+    ``seq_axis`` (parallel/sequence.py).  Attention needs every key and
+    value against each local query block, so each shard all-gathers K/V
+    over ICI (2·T·C·2B bytes — at T=5120, C=1024 that is 20 MB, amortized
+    over the layer's 4·T_loc·T·C score/context FLOPs) and runs the VMEM
+    flash kernel on its local Q strip: the [B, H, T_loc, T] fp32 scores
+    never touch HBM, same memory behavior as the single-device kernel.
+
+    q, k, v: GLOBAL [B, T, C] views (q pre-scaled), sharded
+    [data_axis, seq_axis, -] by the encoder's sharding constraints.
+    Requires the ambient mesh (jax.sharding.set_mesh) that the SP
+    recipe already establishes.  Returns the global [B, T, C] view with
+    the same layout.
+    """
+    spec = jax.sharding.PartitionSpec(data_axis, seq_axis, None)
+
+    def local(q_l, k_l, v_l):
+        kg = jax.lax.all_gather(k_l, seq_axis, axis=1, tiled=True)
+        vg = jax.lax.all_gather(v_l, seq_axis, axis=1, tiled=True)
+        bq = sp_block_q(q_l.shape[1], preferred=block_q)
+        return flash_attention_long(
+            q_l, kg, vg, num_heads=num_heads, block_q=bq,
+            interpret=interpret,
+        )
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the vma checker rejects inside shard_map
+    return jax.shard_map(
+        local, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
 
 
 def attention_reference(q, k, v, num_heads):

@@ -23,10 +23,16 @@ Scope/costs, stated honestly:
   through 7 strided convs buys nothing at these sizes); at long T the
   O(T^2) attention dominates, which is exactly the regime this path
   targets.
-- Pallas kernels don't shard transparently: the encoder bypasses the
-  flash/fused attention kernels when ``seq_axis`` is set, and
-  ``sp_model_config`` turns the fused SAE kernel off (same rule as
-  tensor-parallel, parallel/tensor.py:23-27).
+- Pallas kernels don't shard transparently THROUGH GSPMD, so
+  ``sp_model_config`` turns the fused SAE / fused frontend kernels off
+  (same rule as tensor-parallel, parallel/tensor.py:23-27) — with ONE
+  deliberate exception: the long-T flash attention kernel, the kernel
+  that matters in exactly the regime SP targets, runs per-shard inside
+  a ``jax.shard_map`` (Q stays on its frame shard, K/V all-gather;
+  kernels/flash_attention.py ``sp_flash_attention_long``), so the
+  sharded long-T path keeps the VMEM score behavior instead of falling
+  back to XLA attention.  Ragged shard lengths fall back to XLA
+  attention automatically (encoder gate checks divisibility).
 - eval-only intent: training uses 201-frame windows where SP has
   nothing to win; the annotations are differentiable, so the dryrun
   exercises a dp x sp train step anyway as a compile proof.
@@ -73,7 +79,9 @@ def sp_model_config(model_cfg, axis: str = "seq"):
     is not already gated on seq_axis: the fused SAE and the fused
     frontend (Pallas calls don't shard transparently; the XLA paths
     are numerically identical — tests/test_sae.py,
-    tests/test_frontend_kernel.py).
+    tests/test_frontend_kernel.py).  The long-T flash attention kernel
+    stays ON: the encoder routes it through a per-shard shard_map
+    (sp_flash_attention_long) when the layout divides cleanly.
     """
     enc = model_cfg.encoder
     if enc.seq_axis != axis or enc.fused_frontend:

@@ -52,6 +52,123 @@ def test_rejects_ragged_t():
                              interpret=True)
 
 
+@pytest.mark.parametrize("Tq,Tkv", [(128, 512), (256, 1024)])
+def test_cross_length_matches_reference(Tq, Tkv):
+    """Tq != Tkv (the sequence-parallel shape: local Q strip vs gathered
+    full-sequence K/V) against a cross-attention jnp reference."""
+    B, H, C = 2, 4, 128
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(0, 0.5, (B, Tq, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.5, (B, Tkv, C)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 0.5, (B, Tkv, C)).astype(np.float32))
+    got = flash_attention_long(q, k, v, num_heads=H, block_q=128,
+                               interpret=True)
+
+    Dh = C // H
+    qh = q.reshape(B, Tq, H, Dh)
+    kh = k.reshape(B, Tkv, H, Dh)
+    vh = v.reshape(B, Tkv, H, Dh)
+    scores = jnp.einsum("bthd,bshd->bhts", qh, kh).astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bhts,bshd->bthd", probs.astype(vh.dtype), vh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want.reshape(B, Tq, C)),
+        rtol=0, atol=2e-5,
+    )
+
+
+def test_sp_block_q_selection():
+    from sls_tpu.kernels.flash_attention import sp_block_q
+
+    assert sp_block_q(1024) == 256
+    assert sp_block_q(640) == 128   # 640 % 256 != 0, 640 % 128 == 0
+    assert sp_block_q(384) == 128
+    assert sp_block_q(200) is None  # too ragged for an efficient kernel
+
+
+def test_sp_flash_matches_reference_on_mesh():
+    """Sequence-parallel wrapper (Q local, K/V all-gather via shard_map)
+    equals the single-device reference elementwise on a ('data','seq')
+    mesh — the kernel the SP long-T path routes through."""
+    from sls_tpu.kernels.flash_attention import sp_flash_attention_long
+    from sls_tpu.parallel.sequence import sp_mesh
+
+    B, H, C, T = 2, 4, 128, 512
+    q, k, v = _qkv(B, T, C, seed=7)
+    mesh = sp_mesh(4, jax.devices()[:8], n_data=2)
+    with jax.sharding.set_mesh(mesh):
+        got = sp_flash_attention_long(
+            q, k, v, num_heads=H, seq_axis="seq", interpret=True
+        )
+    want = attention_reference(q, k, v, num_heads=H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+
+def test_encoder_sp_flash_route_matches_single_device():
+    """END-TO-END: encoder under dp×sp with the long-T flash route ON
+    equals the plain single-device encoder — the SP recipe no longer
+    bypasses the one Pallas kernel that matters at long T."""
+    import dataclasses
+
+    from sls_tpu.config import tiny_xlsr_config
+    from sls_tpu.encoder.xlsr import XLSREncoder
+    from sls_tpu.evaluation.overlap import length_buckets
+    from sls_tpu.parallel.sequence import sp_mesh
+
+    base = tiny_xlsr_config(flash_long_t=0)
+    wav_len = length_buckets(base, t_targets=(512,))[512]
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.normal(0, 0.1, (2, wav_len)).astype(np.float32))
+
+    enc = XLSREncoder(base)
+    params = enc.init(jax.random.PRNGKey(0), wav[:, :1000])["params"]
+    want = enc.apply({"params": params}, wav, train=False)
+
+    sp_cfg = dataclasses.replace(base, flash_long_t=256, seq_axis="seq")
+    mesh = sp_mesh(4, jax.devices()[:8], n_data=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(
+            lambda p, w: XLSREncoder(sp_cfg).apply(
+                {"params": p}, w, train=False)
+        )(params, wav)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=3e-5)
+
+
+def test_encoder_sp_flash_falls_back_on_ragged_shard():
+    """When T/n_seq is too ragged for the kernel the gate must fall back
+    to XLA attention (correctness over the kernel), not crash."""
+    import dataclasses
+
+    from sls_tpu.config import tiny_xlsr_config
+    from sls_tpu.encoder.xlsr import XLSREncoder
+    from sls_tpu.parallel.sequence import sp_mesh
+
+    base = tiny_xlsr_config(flash_long_t=0)
+    # wav giving T not divisible by 4 shards x 128 block
+    rng = np.random.default_rng(2)
+    wav_len = 1000
+    base_enc = XLSREncoder(base)
+    params = base_enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, wav_len)))["params"]
+    wav = jnp.asarray(rng.normal(0, 0.1, (2, wav_len)).astype(np.float32))
+    want = base_enc.apply({"params": params}, wav, train=False)
+
+    t = base.num_frames(wav_len)
+    assert t % 4 or (t // 4) % 128, "pick a wav_len with a ragged shard"
+    sp_cfg = dataclasses.replace(base, flash_long_t=max(1, t - 1),
+                                 seq_axis="seq")
+    mesh = sp_mesh(4, jax.devices()[:8], n_data=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(
+            lambda p, w: XLSREncoder(sp_cfg).apply(
+                {"params": p}, w, train=False)
+        )(params, wav)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=3e-5)
+
+
 def test_encoder_long_t_route_matches_xla():
     """XLSREncoder output is identical whether attention goes through
     the long-T VMEM kernel (flash_long_t) or the XLA einsum path."""
