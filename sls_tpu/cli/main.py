@@ -240,9 +240,18 @@ def load_pretrained_encoder(cp_path: str, encoder_cfg):
     else:
         import torch
 
-        raw = torch.load(path, map_location="cpu", weights_only=True)
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # real fairseq checkpoints (xlsr2_300m.pt) embed a cfg payload
+            # of argparse.Namespace / omegaconf objects that the
+            # weights_only unpickler refuses (reference loads them through
+            # fairseq.checkpoint_utils, model.py:109-126)
+            raw = torch.load(path, map_location="cpu", weights_only=False)
         state = raw.get("model", raw) if isinstance(raw, dict) else raw
-        state = {k: v.numpy() for k, v in state.items()}
+        state = {
+            k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")
+        }
     state = strip_prefixes(
         state, ("module.", "w2v_encoder.", "w2v_model.", "wav2vec2.")
     )
