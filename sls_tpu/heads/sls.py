@@ -39,17 +39,23 @@ class SLSHead(nn.Module):
         """hidden_states: [L, B, T, C] stacked per-layer encoder outputs
         (fairseq layer_results: per-layer, pre-final-LN)
         -> log-probabilities [B, num_classes]."""
-        h = hidden_states.astype(jnp.float32)
+        h = hidden_states
         L, B, T, C = h.shape
 
         # getAttenF gates: adaptive_avg_pool1d over time -> fc0 -> sigmoid
-        pooled = h.mean(axis=2)  # [L, B, C]
+        # (mean accumulates fp32; the [L,B,C] pooled tensor is tiny)
+        pooled = jnp.mean(h, axis=2, dtype=jnp.float32)  # [L, B, C]
         gate = jax.nn.sigmoid(
             nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                      name="fc0")(pooled)
         )
-        # sensitive-layer-weighted fusion: [B, T, C]
-        fused = jnp.einsum("lbtc,lb->btc", h, gate[..., 0])
+        # sensitive-layer-weighted fusion: [B, T, C].  The stack stays
+        # in the encoder dtype (an fp32 .astype here materialized a
+        # 745 MB copy at b36) — the contraction accumulates fp32.
+        fused = jnp.einsum(
+            "lbtc,lb->btc", h, gate[..., 0].astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
 
         x = fused[..., None]  # [B, T, C, 1] — NHWC; torch is [B, 1, T, C]
         # BatchNorm2d(1): one mean/var over all (B, T, C) elements of the
