@@ -5,12 +5,14 @@ upstream SLS (layer-stack / Sensitive Layer Selection) architecture
 (models/sls.py — BASELINE config #1, the reference's published
 1.92% DF EER model: /root/reference/model.py SLS path + README.md).
 
-The SLS head consumes ALL 25 hidden-state stacks [L, B, T, C] instead
-of the final layer only, so its cost profile differs from the
-flagship: same 24-layer encoder FLOPs, but + a [25,B,T,1024] stack
-materialization and the SLS attention/gating head instead of
-SAE+classifier — worth its own measured number so serving either
-family is a known quantity.
+The SLS head consumes ALL per-layer hidden states instead of the
+final layer only, so its cost profile differs from the flagship:
+same 24-layer encoder FLOPs plus the layer-gated fusion head.  After
+the r4 root-cause fix (per-layer fused gate pooling + compute-dtype
+fc1; BENCH_NOTES_r4 sls_head_root_cause) the head adds ~2.5 ms/batch
+and the family serves at flagship throughput (853.5 utts/s at b36,
+64.5% MFU) — worth its own measured number so serving either family
+is a known quantity.
 
 Same methodology as bench.py (pipelined dispatch, fetch-last), same
 JSON-line output contract.

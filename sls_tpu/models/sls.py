@@ -40,8 +40,15 @@ class SLSDetector(nn.Module):
             # SLS head' baseline must not fine-tune the encoder
             final = jax.lax.stop_gradient(final)
             hiddens = [jax.lax.stop_gradient(h) for h in hiddens]
-        stacked = jnp.stack(hiddens, axis=0)  # [L, B, T, C]
-        log_probs = SLSHead(name="sls_head")(stacked, train=train)
+        # pass the raw per-layer list (the head pools each layer where
+        # it is produced instead of re-reading a stack from HBM) and
+        # run the head's wide MLP in the encoder's compute dtype —
+        # together 62.8 -> ~43 ms/batch at b36 on v5e; the dominant
+        # term was the fp32 fc1 GEMM with a runtime weight, see
+        # heads/sls.py and BENCH_NOTES_r4 sls_head_root_cause
+        log_probs = SLSHead(
+            name="sls_head", dtype=self.config.encoder.dtype
+        )(hiddens, train=train)
         return {
             "log_probs": log_probs,
             "score": jnp.exp(log_probs[:, 1]),
