@@ -18,7 +18,7 @@ import time
 
 
 def run_config(batch: int, remat: bool, iters: int = 8,
-               pallas_sae: bool = False) -> float:
+               pallas_sae: bool = False, freeze: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,6 +34,7 @@ def run_config(batch: int, remat: bool, iters: int = 8,
             encoder=XLSRConfig(dtype=jnp.bfloat16, remat=remat),
             use_sae=True,
             use_sparse_features=True,
+            freeze_encoder=freeze,
             sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
                           use_pallas=pallas_sae),
         ),
@@ -67,6 +68,10 @@ def main(argv=None) -> int:
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--pallas", action="store_true",
                         help="fused Pallas SAE encode/decode (custom VJP) in the train step")
+    parser.add_argument("--freeze", action="store_true",
+                        help="freeze the SSL encoder (the reference's "
+                        "ModelSAE frozen-SSL training mode; the masked "
+                        "optimizer keeps no Adam state for it)")
     args = parser.parse_args(argv)
 
     import jax
@@ -79,14 +84,18 @@ def main(argv=None) -> int:
 
     for batch in args.batches:
         try:
-            ups = run_config(batch, args.remat, args.iters, args.pallas)
+            ups = run_config(batch, args.remat, args.iters, args.pallas,
+                             args.freeze)
             print(json.dumps({
-                "metric": "train-utts/sec/chip (XLS-R-300M fine-tune)",
+                "metric": ("train-utts/sec/chip (XLS-R-300M frozen-SSL SAE)"
+                           if args.freeze else
+                           "train-utts/sec/chip (XLS-R-300M fine-tune)"),
                 "value": round(ups, 2),
                 "unit": "utterances/sec/chip",
                 "batch": batch,
                 "remat": args.remat,
                 "pallas_sae": args.pallas,
+                "freeze": args.freeze,
             }), flush=True)
         except Exception as exc:  # OOM etc: record and continue
             print(json.dumps({

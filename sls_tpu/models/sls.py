@@ -75,12 +75,13 @@ def create_sls_train_state(
     variables = init_fn(rng)
     from sls_tpu.train.steps import trainable_decay_mask
 
+    mask = trainable_decay_mask(cfg)
     return SLSTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         tx=make_optimizer(
-            cfg.train.lr, cfg.train.weight_decay, trainable_decay_mask(cfg)
+            cfg.train.lr, cfg.train.weight_decay, mask, trainable_mask=mask
         ),
     )
 

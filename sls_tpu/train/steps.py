@@ -48,6 +48,7 @@ def make_optimizer(
     lr: float,
     weight_decay: float,
     decay_mask=None,
+    trainable_mask=None,
 ) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay) equivalent (L2-on-grad, not AdamW).
 
@@ -58,6 +59,16 @@ def make_optimizer(
     gradient, which Adam normalizes to a ~sign(p)*lr drift per step,
     progressively corrupting a "frozen" encoder (torch Adam skips
     requires_grad=False params entirely).
+
+    ``trainable_mask``: optional bool pytree (or callable) selecting
+    the params the optimizer maintains AT ALL.  With freeze_encoder the
+    encoder's grads are exactly zero, yet an unmasked Adam still decays
+    both moment buffers every step — for XLS-R-300M that is ~2.4 GB of
+    dead fp32 moments in HBM plus their read+write each step.  Masking
+    the whole chain allocates no state for frozen leaves and passes
+    their (zero) gradients through untouched, matching torch Adam over
+    requires_grad=True params only (reference main.py builds Adam over
+    model.parameters() of a model whose SSL front may be frozen).
     """
     transforms = []
     if weight_decay:
@@ -67,12 +78,17 @@ def make_optimizer(
         transforms.append(wd)
     transforms.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     transforms.append(optax.scale(-lr))
-    return optax.chain(*transforms)
+    tx = optax.chain(*transforms)
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx
 
 
 def trainable_decay_mask(cfg: ExperimentConfig):
     """Decay mask honoring ``freeze_encoder``: None when nothing is
-    frozen (decay everything), else a callable masking the encoder."""
+    frozen (decay everything), else a callable masking the encoder.
+    The same mask serves as ``trainable_mask`` (the frozen set is the
+    same either way)."""
     if not cfg.model.freeze_encoder:
         return None
 
@@ -103,8 +119,9 @@ def create_train_state(
         )
     )
     variables = init_fn(rng)
+    mask = trainable_decay_mask(cfg)
     tx = make_optimizer(
-        cfg.train.lr, cfg.train.weight_decay, trainable_decay_mask(cfg)
+        cfg.train.lr, cfg.train.weight_decay, mask, trainable_mask=mask
     )
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx

@@ -213,6 +213,80 @@ def test_sls_freeze_encoder_honored():
     assert head_norm > 0.0
 
 
+def test_frozen_encoder_has_no_adam_state():
+    """Under freeze_encoder the optimizer must maintain NO state for
+    the frozen subtree (optax.masked over the whole chain): torch Adam
+    over requires_grad=True params allocates no moments for the frozen
+    SSL front, and unmasked moments cost ~2.4 GB HBM + a dead
+    read+write per step at XLS-R-300M scale."""
+    import numpy as np
+
+    from sls_tpu.config import ExperimentConfig, TrainConfig
+    from sls_tpu.models.detector import Detector
+    from sls_tpu.train.steps import create_train_state
+    from tests.test_detector_train import WAV_LEN, tiny_model_config
+
+    cfg = ExperimentConfig(
+        model=tiny_model_config(freeze_encoder=True),
+        train=TrainConfig(batch_size=4, lr=1e-3, weight_decay=1e-2,
+                          cut_length=WAV_LEN),
+    )
+    model = Detector(cfg.model)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, WAV_LEN)) * 0.1
+    state = create_train_state(model, cfg, jax.random.PRNGKey(1), wav)
+
+    n_total = sum(int(np.prod(x.shape))
+                  for x in jax.tree.leaves(state.params))
+    n_frozen = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params["encoder"]))
+    n_opt = sum(int(np.prod(np.shape(x)))
+                for x in jax.tree.leaves(state.opt_state))
+    # Adam keeps mu+nu for trainable leaves only (+ step counters)
+    assert n_opt <= 2 * (n_total - n_frozen) + 16, (
+        f"optimizer holds state for frozen params: {n_opt} elements "
+        f"vs {2 * (n_total - n_frozen)} trainable-moment elements")
+
+
+def test_frozen_opt_state_checkpoint_roundtrip(tmp_path):
+    """The masked optimizer state (MaskedNode leaves for the frozen
+    subtree) must survive the msgpack checkpoint save/restore cycle."""
+    import numpy as np
+
+    from sls_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+    from sls_tpu.config import ExperimentConfig, TrainConfig
+    from sls_tpu.models.detector import Detector
+    from sls_tpu.train.steps import create_train_state, make_train_step
+    from tests.test_detector_train import WAV_LEN, tiny_model_config
+
+    cfg = ExperimentConfig(
+        model=tiny_model_config(freeze_encoder=True),
+        train=TrainConfig(batch_size=4, lr=1e-2, weight_decay=1e-2,
+                          cut_length=WAV_LEN),
+    )
+    model = Detector(cfg.model)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (4, WAV_LEN)) * 0.1
+    labels = jnp.asarray([0, 1, 0, 1])
+    valid = jnp.ones(4, bool)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(1), wav[:2])
+    step = make_train_step(model, cfg, mesh=None)
+    state, _ = step(state, wav, labels, valid, jax.random.PRNGKey(2))
+
+    tree = {"params": state.params, "opt_state": state.opt_state}
+    save_checkpoint(tmp_path / "last.ckpt", tree, epoch=1)
+    fresh = create_train_state(model, cfg, jax.random.PRNGKey(1), wav[:2])
+    restored, meta = load_checkpoint(
+        tmp_path / "last.ckpt",
+        {"params": fresh.params, "opt_state": fresh.opt_state})
+    assert meta["epoch"] == 1
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(restored["opt_state"]),
+        jax.tree_util.tree_leaves_with_path(state.opt_state),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(pa))
+
+
 def test_resample_poly():
     from sls_tpu.data.audio import resample_to_16k
 
