@@ -30,14 +30,15 @@ import numpy as np
 from bench import BASELINE_UTTS_PER_SEC, V5E_BF16_PEAK_TFLOPS, flops_per_utterance
 
 
-def build_sls():
+def build_sls(int8_ffn: bool = False):
     import jax.numpy as jnp
 
     from sls_tpu.config import ModelConfig, XLSRConfig
     from sls_tpu.models.sls import SLSDetector
 
     cfg = ModelConfig(
-        encoder=XLSRConfig(dtype=jnp.bfloat16),
+        encoder=XLSRConfig(dtype=jnp.bfloat16, int8_serving=int8_ffn,
+                           int8_scope="ffn"),
         use_sae=False,
         freeze_encoder=False,  # eval: no gradients either way
     )
@@ -49,6 +50,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=36)
     parser.add_argument("--iters", type=int, default=16)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--int8", action="store_true",
+                        help="dynamic int8 FFN GEMMs in the shared "
+                        "encoder (the measured-best serving scope, "
+                        "BENCH_NOTES_r3 int8_serving); opt-in so the "
+                        "tracked series stays bf16 like bench.py")
     args = parser.parse_args(argv)
 
     import jax
@@ -60,7 +66,7 @@ def main(argv=None) -> int:
     except Exception:
         pass
 
-    model, cfg = build_sls()
+    model, cfg = build_sls(int8_ffn=args.int8)
     rng = np.random.default_rng(0)
     wav = jnp.asarray(
         rng.normal(0, 0.1, size=(args.batch, 64600)).astype(np.float32)
@@ -100,15 +106,21 @@ def main(argv=None) -> int:
     # the flagship analytic count is a faithful lower bound here
     gflop_utt = flops_per_utterance(cfg) / 1e9
     tflops = utts_per_sec * gflop_utt / 1e3
-    print(json.dumps({
-        "metric": "4s-utterances/sec/chip (XLS-R-300M + SLS head eval)",
+    out = {
+        "metric": ("4s-utterances/sec/chip (XLS-R-300M + SLS head eval, int8-ffn)"
+                   if args.int8 else
+                   "4s-utterances/sec/chip (XLS-R-300M + SLS head eval)"),
         "value": round(utts_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 2),
         "tflops": round(tflops, 1),
-        "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
         "batch": args.batch,
-    }))
+    }
+    # under int8 the FFN GEMMs are not bf16, so the ratio to the bf16
+    # peak is a labeled bf16-equivalent, not MFU (same rule as bench.py)
+    key = "mfu_bf16_equiv" if args.int8 else "mfu"
+    out[key] = round(tflops / V5E_BF16_PEAK_TFLOPS, 3)
+    print(json.dumps(out))
     return 0
 
 
