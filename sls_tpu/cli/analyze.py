@@ -12,6 +12,9 @@ Commands (reference script equivalents):
   probe        probe_acoustic_asvspoof.py (acoustic correlation probe)
   handcrafted  compare_handcrafted_features.py
   overlap      eval_overlap_clean.py / eval_overlap_eer.py
+  gates        SLS sensitive-layer gate profile (per class, with PNG) —
+               the SLS family's interpretability question
+               (model_backup.py:186-192 fullfeature gate weights)
 
 Each command writes a JSON report (and optionally PNG dashboards) to
 --output.  The model is rebuilt from the checkpoint's embedded config
@@ -58,9 +61,36 @@ def load_experiment(run_dir: str, checkpoint: Optional[str] = None):
                     cfg.model.encoder, int8_serving=False),
             ),
         )
-    model = Detector(cfg.model)
     params = raw["state"]["params"] if "state" in raw else raw["params"]
+    if "sls_head" in params:
+        raise SystemExit(
+            "this run dir holds an SLS-family checkpoint (params carry "
+            "'sls_head'); the SAE analysis suite needs a detector run — "
+            "for SLS interpretability use: analyze gates --run_dir ...")
+    model = Detector(cfg.model)
     return cfg, model, params
+
+
+def load_sls_experiment(run_dir: str, checkpoint: Optional[str] = None):
+    """Rebuild (cfg, model, params, batch_stats) for an SLS-family run."""
+    from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
+    from sls_tpu.config import ExperimentConfig, config_from_dict
+    from sls_tpu.models.sls import SLSDetector
+
+    mgr = CheckpointManager(run_dir)
+    path = mgr.resolve_resume(checkpoint)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    raw, meta = load_checkpoint(path)
+    cfg = config_from_dict(ExperimentConfig, json.loads(meta["config_json"]))
+    state = raw.get("state", raw)
+    params = state["params"]
+    if "sls_head" not in params:
+        raise SystemExit(
+            "'gates' needs an SLS-family checkpoint (params carrying "
+            "'sls_head'); this run dir holds a detector run — use the "
+            "SAE analysis commands instead")
+    return cfg, SLSDetector(cfg.model), params, state.get("batch_stats", {})
 
 
 def _collect_codes(model, params, loader, max_samples: int):
@@ -399,6 +429,67 @@ def cmd_global_cues(args, cfg, model, params, loader):
     return global_cue_consistency(codes, top_k=args.top_k)
 
 
+def cmd_gates(args):
+    """SLS layer-gate interpretability: which encoder layers does the
+    head consider sensitive?  The question the Sensitive-Layer-Selection
+    architecture exists to answer (heads/sls.py getAttenF gates;
+    reference model_backup.py:186-192's fullfeature weights).  Loads an
+    SLS run dir directly (the other commands analyze detector runs)."""
+    import jax.numpy as jnp
+
+    from sls_tpu.models.sls import layer_gate_profile
+
+    cfg, model, params, batch_stats = load_sls_experiment(
+        args.run_dir, args.checkpoint)
+    loader = _make_loader(args, cfg)
+    wavs, labels, n = [], [], 0
+    for batch in loader.epoch(0):
+        v = batch.valid
+        wavs.append(batch.wav[v])
+        if batch.labels is not None:
+            labels.append(batch.labels[v])
+        n += int(v.sum())
+        if n >= args.num_samples:
+            break
+    wav = np.concatenate(wavs)[: args.num_samples]
+    report = layer_gate_profile(
+        model, params, batch_stats, jnp.asarray(wav))
+    if labels:
+        lab = np.concatenate(labels)[: args.num_samples]
+        # per-class gate means: do spoof and bonafide utterances light
+        # up different layers?
+        from sls_tpu.models.sls import _gate_probe_fwd
+
+        probe_params = {"encoder": params["encoder"],
+                        "fc0": params["sls_head"]["fc0"]}
+        gates = np.asarray(
+            _gate_probe_fwd(model.config)(probe_params, jnp.asarray(wav)))
+        for cls, name in ((0, "spoof"), (1, "bonafide")):
+            sel = lab == cls
+            if sel.any():
+                report[f"mean_gate_per_layer_{name}"] = (
+                    gates[:, sel].mean(axis=1).tolist())
+    if args.figures:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mean = np.asarray(report["mean_gate_per_layer"])
+        std = np.asarray(report["std_gate_per_layer"])
+        fig, ax = plt.subplots(figsize=(9, 3.5))
+        ax.bar(np.arange(len(mean)), mean, yerr=std, color="#4878a8")
+        ax.set_xlabel("encoder layer")
+        ax.set_ylabel("mean sigmoid gate")
+        ax.set_title("SLS sensitive-layer gates")
+        out_dir = Path(args.figures)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        fig.savefig(out_dir / "layer_gates.png", dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)
+    return report
+
+
 COMMANDS = {
     "temporal": cmd_temporal,
     "sparsity": cmd_sparsity,
@@ -411,6 +502,7 @@ COMMANDS = {
     "compare": cmd_compare,
     "failure": cmd_failure,
     "global-cues": cmd_global_cues,
+    "gates": cmd_gates,
 }
 
 
@@ -441,9 +533,14 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg, model, params = load_experiment(args.run_dir, args.checkpoint)
-    loader = _make_loader(args, cfg)
-    report = COMMANDS[args.command](args, cfg, model, params, loader)
+    if args.command == "gates":
+        # SLS-family command: loads its own model (detector loading
+        # fails loud on SLS checkpoints and vice versa)
+        report = cmd_gates(args)
+    else:
+        cfg, model, params = load_experiment(args.run_dir, args.checkpoint)
+        loader = _make_loader(args, cfg)
+        report = COMMANDS[args.command](args, cfg, model, params, loader)
     text = json.dumps(report, indent=2, default=float)
     if args.output:
         Path(args.output).parent.mkdir(parents=True, exist_ok=True)

@@ -254,3 +254,62 @@ class TestAutotrainPolicy:
 
         rc, n = self._run(monkeypatch, tmp_path, crash_but_progress)
         assert rc == 0 and n == 3  # epoch 3 logged on the 3rd attempt
+
+
+@pytest.fixture(scope="module")
+def tiny_sls_run(tmp_path_factory):
+    """Train a tiny SLS model for 1 epoch (gates needs an SLS ckpt)."""
+    from sls_tpu.data.pipeline import ArrayLoader
+    from sls_tpu.models.sls import SLSTrainer
+
+    run_dir = tmp_path_factory.mktemp("sls_analysis_run")
+    cfg = ExperimentConfig(
+        model=tiny_model_config(use_sae=False),
+        train=TrainConfig(
+            batch_size=8, lr=1e-3, num_epochs=1, cut_length=WAV_LEN,
+            rawboost=dataclasses.replace(RawBoostConfig(), algo=0),
+        ),
+    )
+    rng = np.random.default_rng(1)
+    wav, y = synthetic_batch(rng, 16)
+    loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+    trainer = SLSTrainer(cfg, run_dir, tensorboard=False)
+    trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+    trainer.fit(loader, loader)
+    return str(run_dir)
+
+
+def test_analyze_gates_sls(tiny_sls_run, tmp_path):
+    """'gates' profiles the SLS layer gates from a run dir, per class,
+    with the PNG dashboard."""
+    from sls_tpu.cli.analyze import main as analyze_main
+
+    out = tmp_path / "gates.json"
+    figs = tmp_path / "figs"
+    assert analyze_main([
+        "gates", "--run_dir", tiny_sls_run, "--synthetic",
+        "--num_samples", "8", "--batch_size", "4",
+        "--output", str(out), "--figures", str(figs),
+    ]) == 0
+    report = json.loads(out.read_text())
+    n_layers = len(report["mean_gate_per_layer"])
+    assert n_layers >= 2  # tiny config: one gate per encoder layer
+    assert all(0.0 <= g <= 1.0 for g in report["mean_gate_per_layer"])
+    assert len(report["most_sensitive_layers"]) <= 5
+    assert (figs / "layer_gates.png").exists()
+
+
+def test_analyze_gates_rejects_detector_run(tiny_run, tmp_path):
+    from sls_tpu.cli.analyze import main as analyze_main
+
+    run_dir, _ = tiny_run
+    with pytest.raises(SystemExit):
+        analyze_main(["gates", "--run_dir", run_dir, "--synthetic"])
+
+
+def test_analyze_sae_commands_reject_sls_run(tiny_sls_run):
+    from sls_tpu.cli.analyze import main as analyze_main
+
+    with pytest.raises(SystemExit):
+        analyze_main(["sparsity", "--run_dir", tiny_sls_run,
+                      "--synthetic"])
