@@ -174,3 +174,35 @@ def test_dp2_sp4_flagship_compiles_with_seq_collectives():
     assert any(
         op in found for op in ("all-gather", "all-to-all", "collective-permute")
     ), f"sp4 attention needs K/V exchange; found only {found}"
+
+
+def test_dp8_sls_compiles_with_grad_allreduce():
+    """The SLS family's dp8 train step at the REAL topology: the family
+    is data-parallel only (models/sls.py SLSTrainer), so this plus the
+    EER-parity rehearsal is its full distributed proof.  batch_stats
+    threading (BatchNorm) rides the same replicated sharding as params;
+    grad sync must still compile to an all-reduce."""
+    from sls_tpu.models.sls import (
+        SLSDetector, create_sls_train_state, make_sls_train_step,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            encoder=XLSRConfig(dtype=jnp.bfloat16),
+            use_sae=False,
+        ),
+        train=TrainConfig(batch_size=BATCH),
+    )
+    model = SLSDetector(cfg.model)
+    mesh = make_mesh(jax.devices()[:8])
+    state_abs = jax.eval_shape(
+        lambda k, w: create_sls_train_state(model, cfg, k, w),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, WAV_LEN), jnp.float32),
+    )
+    step = make_sls_train_step(model, cfg, mesh)
+    hlo = _compile_and_get_hlo(step, state_abs, mesh)
+    found = _found_collectives(hlo)
+    assert "all-reduce" in found, (
+        f"SLS dp8 grad sync must compile to an all-reduce; found {found}"
+    )
