@@ -83,6 +83,19 @@ def load_sls_experiment(run_dir: str, checkpoint: Optional[str] = None):
         raise FileNotFoundError(f"no checkpoint in {run_dir}")
     raw, meta = load_checkpoint(path)
     cfg = config_from_dict(ExperimentConfig, json.loads(meta["config_json"]))
+    if cfg.model.encoder.int8_serving:
+        # same rule as load_experiment: analysis wants the exact fp
+        # numerics the model trained in, not the serving quantization
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                encoder=dataclasses.replace(
+                    cfg.model.encoder, int8_serving=False),
+            ),
+        )
     state = raw.get("state", raw)
     params = state["params"]
     if "sls_head" not in params:
