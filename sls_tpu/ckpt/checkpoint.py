@@ -78,6 +78,29 @@ def _meta_to_arrays(meta: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def _conform_state_dict(raw, tmpl):
+    """Recursively conform a legacy raw state dict to a template's
+    state-dict shape: wrap a bare optimizer chain where the template
+    expects optax.MaskedState ({'inner_state': ...}) and drop raw keys
+    the template no longer carries (moments of frozen params, which
+    serialize as empty dicts under MaskedNode).  Keys the template has
+    but raw lacks are left to from_state_dict to report."""
+    if isinstance(tmpl, dict):
+        if not tmpl:
+            # MaskedNode serializes as an empty dict: whatever the old
+            # checkpoint stored here (a frozen leaf's moments) is gone
+            return {}
+        if isinstance(raw, dict):
+            if set(tmpl) == {"inner_state"} and set(raw) != {"inner_state"}:
+                raw = {"inner_state": raw}
+            return {
+                k: _conform_state_dict(raw[k], v)
+                for k, v in tmpl.items()
+                if k in raw
+            }
+    return raw
+
+
 def load_checkpoint(
     path: PathLike, state_template: Optional[Any] = None
 ) -> Tuple[Any, Dict[str, Any]]:
@@ -91,7 +114,21 @@ def load_checkpoint(
         raw = serialization.msgpack_restore(f.read())
     state = raw["state"]
     if state_template is not None:
-        state = serialization.from_state_dict(state_template, state)
+        try:
+            state = serialization.from_state_dict(state_template, state)
+        except ValueError:
+            # pre-masked-optimizer checkpoints: freeze_encoder runs
+            # saved before the optimizer was wrapped in optax.masked
+            # carry a bare chain state where the template now expects
+            # MaskedState({'inner_state': ...}) with the frozen
+            # subtree's moments absent.  Conform the raw dict to the
+            # template's shape (wrap, then drop the now-maskless
+            # moments) and retry; anything else re-raises.
+            adapted = _conform_state_dict(
+                state, serialization.to_state_dict(state_template))
+            state = serialization.from_state_dict(state_template, adapted)
+            print(f"[ckpt] migrated pre-masked-optimizer state from "
+                  f"{path} (frozen-subtree moments dropped)")
     meta_raw = raw.get("meta", {})
     meta = {
         "epoch": int(meta_raw.get("epoch", 0)),

@@ -466,17 +466,12 @@ def cmd_gates(args):
             break
     wav = np.concatenate(wavs)[: args.num_samples]
     report = layer_gate_profile(
-        model, params, batch_stats, jnp.asarray(wav))
+        model, params, batch_stats, jnp.asarray(wav), return_gates=True)
+    gates = report.pop("gates")  # [L, B] — one encoder forward for all
     if labels:
         lab = np.concatenate(labels)[: args.num_samples]
         # per-class gate means: do spoof and bonafide utterances light
         # up different layers?
-        from sls_tpu.models.sls import _gate_probe_fwd
-
-        probe_params = {"encoder": params["encoder"],
-                        "fc0": params["sls_head"]["fc0"]}
-        gates = np.asarray(
-            _gate_probe_fwd(model.config)(probe_params, jnp.asarray(wav)))
         for cls, name in ((0, "spoof"), (1, "bonafide")):
             sel = lab == cls
             if sel.any():

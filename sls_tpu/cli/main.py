@@ -240,13 +240,19 @@ def load_pretrained_encoder(cp_path: str, encoder_cfg):
     else:
         import torch
 
+        import pickle
+
         try:
             raw = torch.load(path, map_location="cpu", weights_only=True)
-        except Exception:
+        except pickle.UnpicklingError:
             # real fairseq checkpoints (xlsr2_300m.pt) embed a cfg payload
             # of argparse.Namespace / omegaconf objects that the
-            # weights_only unpickler refuses (reference loads them through
-            # fairseq.checkpoint_utils, model.py:109-126)
+            # weights_only unpickler REFUSES (reference loads them through
+            # fairseq.checkpoint_utils, model.py:109-126).  Only that
+            # refusal triggers the full-pickle fallback: a truncated or
+            # corrupted file keeps its original error, and a file that
+            # fails for any other reason is never fed to the unrestricted
+            # unpickler.
             raw = torch.load(path, map_location="cpu", weights_only=False)
         state = raw.get("model", raw) if isinstance(raw, dict) else raw
         state = {

@@ -130,18 +130,19 @@ def render_research_summary(
             f"| Jaccard similarity | {_pct(t['mean_jaccard'])} |",
             f"| Feature lifetime (frames) | {t['mean_lifetime']:.2f} |",
             f"| Avg feature flips/timestep | {t['mean_flips']:.2f} |",
+            # None (not "") marks a skipped optional row: "" survives
+            # the is-not-None join filter and leaks blank lines into the
+            # middle of the markdown table
             f"| Within-window Jaccard | {t['interior_jaccard']:.3f} |"
-            if "interior_jaccard" in t else "",
+            if "interior_jaccard" in t else None,
             f"| Boundary Jaccard | {t['boundary_jaccard']:.3f} |"
-            if "boundary_jaccard" in t else "",
+            if "boundary_jaccard" in t else None,
             f"| Discontinuity score | {t.get('discontinuity', float('nan')):.3f} |"
-            if "discontinuity" in t else "",
+            if "discontinuity" in t else None,
         ]
-    if spikes:
+    if spikes and "spike_ratio" in spikes:
         lines.append(
-            f"| Transient spike ratio | {_pct(spikes['spike_ratio'])} |"
-            if "spike_ratio" in spikes else ""
-        )
+            f"| Transient spike ratio | {_pct(spikes['spike_ratio'])} |")
     if ms and "optimal_window" in ms:
         lines += [
             "",

@@ -186,13 +186,18 @@ def _gate_probe_fwd(config: ModelConfig):
     return f
 
 
-def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
+def layer_gate_profile(
+    model: SLSDetector, params, batch_stats, wav, return_gates: bool = False
+) -> Dict:
     """Which encoder layers does the SLS head consider sensitive?
 
     Returns per-layer mean/std of the sigmoid layer gates over a batch —
     the interpretability question the SLS architecture exists to answer
     (layer-gated fusion in heads/sls.py).  ``batch_stats`` is unused (the
     gates sit before the BatchNorm) but kept for API symmetry.
+    ``return_gates`` additionally includes the raw [L, B] gate matrix so
+    callers needing per-example breakdowns (cli.analyze gates' per-class
+    means) don't pay the 300M encoder forward twice.
     """
     import numpy as np
 
@@ -201,11 +206,14 @@ def layer_gate_profile(model: SLSDetector, params, batch_stats, wav) -> Dict:
         "fc0": params["sls_head"]["fc0"],
     }
     gates = np.asarray(_gate_probe_fwd(model.config)(probe_params, wav))
-    return {
+    out = {
         "mean_gate_per_layer": gates.mean(axis=1).tolist(),
         "std_gate_per_layer": gates.std(axis=1).tolist(),
         "most_sensitive_layers": np.argsort(-gates.mean(axis=1))[:5].tolist(),
     }
+    if return_gates:
+        out["gates"] = gates
+    return out
 
 
 class SLSTrainer(BaseTrainer):

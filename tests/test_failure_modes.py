@@ -301,3 +301,53 @@ def test_resample_poly():
     # 16 kHz input is a no-op
     same = resample_to_16k(x[:1600], 16000)
     np.testing.assert_array_equal(same, x[:1600])
+
+
+def test_pre_masked_optimizer_checkpoint_migrates(tmp_path):
+    """A freeze_encoder checkpoint saved BEFORE the optimizer was
+    wrapped in optax.masked (bare chain state, full encoder moments)
+    must still restore: trainable moments preserved, frozen-subtree
+    moments dropped."""
+    import numpy as np
+    import optax
+
+    from sls_tpu.ckpt.checkpoint import load_checkpoint, save_checkpoint
+    from sls_tpu.config import ExperimentConfig, TrainConfig
+    from sls_tpu.models.detector import Detector
+    from sls_tpu.train.steps import (
+        create_train_state, make_optimizer, trainable_decay_mask,
+    )
+    from tests.test_detector_train import WAV_LEN, tiny_model_config
+
+    cfg = ExperimentConfig(
+        model=tiny_model_config(freeze_encoder=True),
+        train=TrainConfig(batch_size=4, lr=1e-2, weight_decay=1e-2,
+                          cut_length=WAV_LEN),
+    )
+    model = Detector(cfg.model)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, WAV_LEN)) * 0.1
+    new_state = create_train_state(model, cfg, jax.random.PRNGKey(1), wav)
+
+    # the OLD optimizer: decay masked, but moments over the whole tree
+    old_tx = make_optimizer(cfg.train.lr, cfg.train.weight_decay,
+                            trainable_decay_mask(cfg))
+    old_opt_state = old_tx.init(new_state.params)
+    # make the trainable moments distinguishable from fresh zeros
+    old_opt_state = jax.tree.map(
+        lambda x: x + 1.0 if hasattr(x, "shape") and x.dtype.kind == "f"
+        else x, old_opt_state)
+    save_checkpoint(
+        tmp_path / "last.ckpt",
+        {"params": new_state.params, "opt_state": old_opt_state},
+        epoch=7)
+
+    restored, meta = load_checkpoint(
+        tmp_path / "last.ckpt",
+        {"params": new_state.params, "opt_state": new_state.opt_state})
+    assert meta["epoch"] == 7
+    # the masked structure came back, with the migrated moment values
+    mu_leaves = [
+        np.asarray(x) for x in jax.tree.leaves(restored["opt_state"])
+        if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0
+    ]
+    assert mu_leaves and all((m == 1.0).all() for m in mu_leaves)
