@@ -100,6 +100,12 @@ def read_flac_rate(
         ctypes.byref(rate),
     )
     if n < 0:
+        # infrastructure failures (wrong --database_path, deleted shard)
+        # must propagate as FileNotFoundError — load_audio's corrupt-file
+        # zero-fallback deliberately re-raises it (audio.py) — while a
+        # file that EXISTS but fails to decode is the corrupt-file case
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no such audio file: {path}")
         raise ValueError(f"failed to decode FLAC: {path}")
     return buf[:n].copy(), int(rate.value)
 
@@ -149,6 +155,20 @@ def decode_batch(
         )
     else:
         raise ValueError(f"unknown decode dtype: {dtype!r}")
+    # rate 0 marks a failed row.  Corrupt-but-present files keep the
+    # documented zero-row fallback; MISSING files are an infrastructure
+    # failure (wrong --database_path, deleted shard) and must raise —
+    # otherwise a whole run can train/score on silent zeros (the rule
+    # audio.load_audio documents).  The stat() only runs on failed rows.
+    failed = np.nonzero(rates == 0)[0]
+    if failed.size:
+        missing = [str(paths[i]) for i in failed
+                   if not os.path.exists(paths[i])]
+        if missing:
+            shown = ", ".join(missing[:3])
+            raise FileNotFoundError(
+                f"{len(missing)} of {n} batch files do not exist "
+                f"(first: {shown}) — check the database path")
     if target_sr:
         for i in np.nonzero((rates != 0) & (rates != target_sr))[0]:
             from sls_tpu.data.audio import pad_or_tile, resample_to_16k

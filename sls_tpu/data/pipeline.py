@@ -248,8 +248,20 @@ class BatchLoader:
                     continue
             return False
 
+        # producer-side watermark: without it, one stalled batch lets
+        # every OTHER producer run arbitrarily far ahead (the consumer
+        # must keep draining the queue to find the in-order batch, so
+        # the queue bound alone is no backpressure — the overflow just
+        # accumulates in the consumer's reorder dict).  The bound must
+        # sit on the producers: blocking the consumer's drain instead
+        # would deadlock, since the stalled batch needs a queue slot.
+        max_ahead = self.prefetch + 2 * n_producers
+        consumed = [0]  # next in-order batch the consumer needs
+
         def producer(worker: int):
             for b in range(worker, n_batches, self.num_threads):
+                while b > consumed[0] + max_ahead and not stop.is_set():
+                    stop.wait(0.05)
                 if stop.is_set():
                     return
                 try:
@@ -279,6 +291,7 @@ class BatchLoader:
                     received += 1
                 yield pending.pop(next_b)
                 next_b += 1
+                consumed[0] = next_b
         finally:
             stop.set()
             for t in threads:

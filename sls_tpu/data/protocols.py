@@ -58,8 +58,23 @@ def parse_train_protocol(
                 )
             _, utt_id, _, _, label = fields
             utt_ids.append(utt_id)
-            labels[utt_id] = BONAFIDE_LABEL if label == "bonafide" else SPOOF_LABEL
+            labels[utt_id] = _label_from_token(label, path, line)
     return labels, utt_ids
+
+
+def _label_from_token(token: str, path, line: str) -> int:
+    """Strict {bonafide, spoof} mapping.  Anything else (capitalized
+    labels, 'genuine', a header row) must raise: silently mapping
+    unknown tokens to spoof corrupts training labels with no error —
+    the label convention is the 'critical, easy to invert' contract
+    this module's docstring warns about."""
+    if token == "bonafide":
+        return BONAFIDE_LABEL
+    if token == "spoof":
+        return SPOOF_LABEL
+    raise ValueError(
+        f"{path}: unknown label token {token!r} (expected 'bonafide' or "
+        f"'spoof') in line: {line!r}")
 
 
 def parse_train_protocol_full(path: PathLike) -> List[ProtocolEntry]:
@@ -74,13 +89,18 @@ def parse_train_protocol_full(path: PathLike) -> List[ProtocolEntry]:
             line = raw.strip()
             if not line:
                 continue
-            spk, utt_id, _, system_id, label = line.split()
+            fields = line.split()
+            if len(fields) != 5:
+                raise ValueError(
+                    f"{path}: expected 5 columns, got {len(fields)}: {line!r}"
+                )
+            spk, utt_id, _, system_id, label = fields
             entries.append(
                 ProtocolEntry(
                     speaker=spk,
                     utt_id=utt_id,
                     system_id=system_id,
-                    label=BONAFIDE_LABEL if label == "bonafide" else SPOOF_LABEL,
+                    label=_label_from_token(label, path, line),
                 )
             )
     return entries

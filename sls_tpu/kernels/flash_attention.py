@@ -152,6 +152,15 @@ def sp_flash_attention_long(
         kg = jax.lax.all_gather(k_l, seq_axis, axis=1, tiled=True)
         vg = jax.lax.all_gather(v_l, seq_axis, axis=1, tiled=True)
         bq = sp_block_q(q_l.shape[1], preferred=block_q)
+        if bq is None:
+            # the encoder call site gates on sp_block_q and falls back
+            # to XLA attention for ragged shards (encoder/xlsr.py);
+            # a direct caller must get a clear error, not the
+            # "int % NoneType" TypeError from inside shard_map tracing
+            raise ValueError(
+                f"local shard length {q_l.shape[1]} has no q-block "
+                f">=128 dividing it — pad T to a multiple of "
+                f"128*n_seq_shards or use XLA attention for this shape")
         return flash_attention_long(
             q_l, kg, vg, num_heads=num_heads, block_q=bq,
             interpret=interpret,

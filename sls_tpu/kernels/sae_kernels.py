@@ -35,6 +35,36 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _topk_threshold_mask(acts, k):
+    """Row-wise EXACT top-k >=-threshold mask for non-negative fp32
+    activations (kernel-side, all 31 iterations VMEM-resident).
+
+    The bit pattern of a non-negative float is order-preserving as an
+    int32, so a binary search over the int32 range finds the k-th
+    value's bits; 31 iterations cover [0, +inf).  Near-ties equal to
+    the threshold are all kept (the documented >= semantics).  The one
+    shared implementation for every fp32 top-k kernel in this file —
+    the iteration-count/hi-bits pairing is a correctness invariant that
+    must not drift between copies (the bf16 window-vote kernel keeps
+    its own int16/15-iteration variant because callers reuse the raw
+    bit view)."""
+    bits = jax.lax.bitcast_convert_type(acts, jnp.int32)
+    rows = acts.shape[0]
+    lo0 = jnp.zeros((rows, 1), jnp.int32)
+    hi0 = jnp.full((rows, 1), jnp.int32(0x7F800000))  # +inf bits
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = lo + ((hi - lo) >> 1)
+        count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
+                        keepdims=True)
+        keep = count >= k
+        return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
+    return jnp.where(bits >= lo, acts, 0.0)
+
+
 def _encode_kernel(x_ref, w_ref, b_enc_ref, b_dec_ref, out_ref):
     centered = x_ref[:] - b_dec_ref[:]  # [TN, D] - [1, D]
     acc = jnp.dot(centered, w_ref[:], preferred_element_type=jnp.float32)
@@ -107,22 +137,7 @@ def _encode_topk_kernel(k_arr, x_ref, w_ref, b_enc_ref, b_dec_ref, out_ref):
         + b_enc_ref[:],
         0.0,
     )
-    bits = jax.lax.bitcast_convert_type(acts, jnp.int32)  # relu'd floats: order-preserving
-
-    rows = acts.shape[0]
-    lo0 = jnp.zeros((rows, 1), jnp.int32)
-    hi0 = jnp.full((rows, 1), jnp.int32(0x7F800000))  # +inf bits
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = lo + ((hi - lo) >> 1)
-        count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
-                        keepdims=True)
-        keep = count >= k
-        return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
-    out_ref[:] = jnp.where(bits >= lo, acts, 0.0)
+    out_ref[:] = _topk_threshold_mask(acts, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
@@ -185,7 +200,12 @@ def _sae_encode_topk_fwd(x, w_enc, b_enc, b_dec, k):
     return out, (x, w_enc, b_dec, out > 0)
 
 
-def _sae_encode_topk_bwd(k, residuals, g):
+def _encode_bwd(residuals, g):
+    """Shared exact XLA backward for the fused encodes: the forward's
+    support mask (top-k or plain ReLU) gates the cotangent, then the
+    centered-matmul gradients are standard.  One implementation serves
+    both custom VJPs so the training gradients of the topk and relu
+    paths can never drift apart."""
     x, w_enc, b_dec, mask = residuals
     g_pre = jnp.where(mask, g, 0.0).astype(jnp.float32)
     d_x = g_pre @ w_enc.T.astype(jnp.float32)
@@ -195,6 +215,10 @@ def _sae_encode_topk_bwd(k, residuals, g):
     return d_x, d_w, d_b_enc, d_b_dec
 
 
+def _sae_encode_topk_bwd(k, residuals, g):
+    return _encode_bwd(residuals, g)
+
+
 sae_encode_topk.defvjp(_sae_encode_topk_fwd, _sae_encode_topk_bwd)
 
 
@@ -202,23 +226,7 @@ def _topk_mask_kernel(k_arr, x_ref, out_ref):
     """Row-wise exact topk mask via the bit-pattern binary search, with
     the input resident in VMEM for all 31 iterations (the jnp loop form
     re-reads the array from HBM every iteration)."""
-    k = k_arr[0]
-    acts = x_ref[:]
-    bits = jax.lax.bitcast_convert_type(acts, jnp.int32)
-    rows = acts.shape[0]
-    lo0 = jnp.zeros((rows, 1), jnp.int32)
-    hi0 = jnp.full((rows, 1), jnp.int32(0x7F800000))
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = lo + ((hi - lo) >> 1)
-        count = jnp.sum((bits >= mid).astype(jnp.int32), axis=-1,
-                        keepdims=True)
-        keep = count >= k
-        return jnp.where(keep, mid, lo), jnp.where(keep, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, 31, body, (lo0, hi0))
-    out_ref[:] = jnp.where(bits >= lo, acts, 0.0)
+    out_ref[:] = _topk_threshold_mask(x_ref[:], k_arr[0])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
@@ -418,11 +426,7 @@ def _sae_encode_relu_fwd(x, w_enc, b_enc, b_dec):
 
 
 def _sae_encode_relu_bwd(residuals, g):
-    x, w_enc, b_dec, mask = residuals
-    g_pre = jnp.where(mask, g, 0.0).astype(jnp.float32)
-    d_x = g_pre @ w_enc.T.astype(jnp.float32)
-    d_w = (x - b_dec).astype(jnp.float32).T @ g_pre
-    return d_x, d_w, g_pre.sum(axis=0), -d_x.sum(axis=0)
+    return _encode_bwd(residuals, g)
 
 
 sae_encode_relu.defvjp(_sae_encode_relu_fwd, _sae_encode_relu_bwd)

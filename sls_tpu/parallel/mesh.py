@@ -81,16 +81,28 @@ def replicate(tree, mesh: Mesh):
 
 
 def pad_batch_to_devices(mesh: Mesh, wav, labels=None, valid=None, axis="data"):
-    """Pad a host batch so axis 0 divides the mesh's data axis.
+    """Pad a host's LOCAL batch so the assembled global batch divides
+    the mesh's data axis.
 
     Padding rows tile row 0 and are marked invalid; losses/metrics mask
     them out (the reference's torch DataLoader had no such constraint —
     any batch size must keep working, e.g. the default 14 on 8 chips).
+    Multi-host: each process only needs its rows to fill ITS share of
+    the data axis (global assembly concatenates over processes,
+    distributed.global_batch) — padding to the full global axis would
+    waste a growing fraction of every step as hosts are added (2 hosts
+    x 4 devices: 9 local rows pad to 12, not 16).
     Returns (wav, labels, valid) as numpy arrays.
     """
     wav = np.asarray(wav)
     n = wav.shape[0]
-    n_dev = mesh.shape[axis]
+    n_total = mesh.devices.size
+    n_local = sum(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    )
+    # this process's share of the data axis (= full axis when the mesh
+    # is single-process or axis-local)
+    n_dev = max(1, mesh.shape[axis] * n_local // n_total)
     if valid is None:
         valid = np.ones(n, bool)
     else:

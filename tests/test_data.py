@@ -128,3 +128,26 @@ def test_score_writer_roundtrip(tmp_path):
         w.write_batch(["x"], [1.0])
     ids, _ = read_score_file(path)
     assert ids == ["x"]
+
+
+def test_parse_protocol_rejects_unknown_labels(tmp_path):
+    """Silently mapping unknown tokens to spoof corrupts training labels
+    — anything outside {bonafide, spoof} must raise with context."""
+    import pytest
+
+    p = tmp_path / "bad.txt"
+    p.write_text("LA_0001 LA_T_1 - - Bonafide\n")  # capitalized
+    with pytest.raises(ValueError, match="unknown label token"):
+        parse_train_protocol(p)
+    p.write_text("LA_0001 LA_T_1 - A01 genuine\n")
+    with pytest.raises(ValueError, match="unknown label token"):
+        parse_train_protocol_full(p)
+
+
+def test_parse_protocol_full_reports_column_count(tmp_path):
+    import pytest
+
+    p = tmp_path / "trunc.txt"
+    p.write_text("LA_0001 LA_T_1 bonafide\n")
+    with pytest.raises(ValueError, match="expected 5 columns, got 3"):
+        parse_train_protocol_full(p)

@@ -108,10 +108,12 @@ class TestBatchDecode:
         long = _int16_sine(9000)
         p1 = _write(tmp_path, "a.flac", encode_flac([short]))
         p2 = _write(tmp_path, "b.flac", encode_flac([long]))
-        missing = tmp_path / "missing.flac"
+        # corrupt-but-present: zero-fallback (a MISSING file raises,
+        # TestMissingFiles)
+        corrupt = _write(tmp_path, "corrupt.flac", b"junk, not flac")
 
         cut = 4000
-        out = decode_batch([p1, p2, missing], cut, n_threads=4)
+        out = decode_batch([p1, p2, corrupt], cut, n_threads=4)
         assert out.shape == (3, cut)
         exp_short = np.tile(_expected_float(short), 4)[:cut]
         np.testing.assert_allclose(out[0], exp_short, atol=1e-6)
@@ -209,11 +211,11 @@ class TestBatchDecodeInt16:
         long = _int16_sine(9000)
         p1 = _write(tmp_path, "a.flac", encode_flac([short]))
         p2 = _write(tmp_path, "b.flac", encode_flac([long]))
-        missing = tmp_path / "missing.flac"
+        corrupt = _write(tmp_path, "corrupt.flac", b"junk, not flac")
 
         cut = 4000
-        out_f = decode_batch([p1, p2, missing], cut, n_threads=4)
-        out_i = decode_batch([p1, p2, missing], cut, n_threads=4,
+        out_f = decode_batch([p1, p2, corrupt], cut, n_threads=4)
+        out_i = decode_batch([p1, p2, corrupt], cut, n_threads=4,
                              dtype="int16")
         assert out_i.dtype == np.int16
         # C++ lrintf and numpy rint agree (round-half-even), and 16-bit
@@ -239,3 +241,28 @@ class TestBatchDecodeInt16:
         p = _write(tmp_path, "c.flac", encode_flac([_int16_sine(100)]))
         with pytest.raises(ValueError):
             decode_batch([p], 100, dtype="int8")
+
+
+class TestMissingFiles:
+    """Missing audio is an infrastructure failure and must RAISE —
+    the corrupt-file zero-fallback only covers files that exist
+    (silently zero-filling a wrong --database_path would train/score
+    a whole run on silence)."""
+
+    def test_read_flac_rate_missing(self, tmp_path):
+        from sls_tpu.data.flac import read_flac_rate
+
+        with pytest.raises(FileNotFoundError):
+            read_flac_rate(tmp_path / "nope.flac")
+
+    def test_decode_batch_missing_raises(self, tmp_path):
+        missing = [tmp_path / f"gone_{i}.flac" for i in range(3)]
+        with pytest.raises(FileNotFoundError, match="do not exist"):
+            decode_batch(missing, 1000, n_threads=2)
+
+    def test_decode_batch_corrupt_but_present_still_zero_fills(self, tmp_path):
+        bad = tmp_path / "bad.flac"
+        bad.write_bytes(b"not a flac file at all")
+        out = decode_batch([bad], 1000, n_threads=1)
+        assert out.shape == (1, 1000)
+        assert np.all(out == 0)

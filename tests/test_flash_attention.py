@@ -192,3 +192,24 @@ def test_encoder_long_t_route_matches_xla():
         {"params": params}, wav, train=False)
     np.testing.assert_allclose(
         np.asarray(flash_out), np.asarray(xla_out), rtol=0, atol=3e-5)
+
+
+def test_sp_flash_ragged_shard_clear_error():
+    """A direct sp_flash_attention_long call on a ragged local shard
+    must fail with the divisibility message, not an 'int % NoneType'
+    TypeError from inside shard_map tracing."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from sls_tpu.kernels.flash_attention import sp_flash_attention_long
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    B, T, C = 2, 4 * 72, 64  # local shard 72: no q-block >=128 divides it
+    q = jnp.zeros((B, T, C), jnp.float32)
+    with jax.sharding.set_mesh(mesh):
+        with pytest.raises(ValueError, match="no q-block"):
+            jax.jit(lambda q: sp_flash_attention_long(
+                q, q, q, num_heads=4, seq_axis="seq", interpret=True,
+            ))(q)
