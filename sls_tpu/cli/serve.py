@@ -1,0 +1,88 @@
+"""Online scoring server — serve a trained run dir over HTTP.
+
+Beyond-reference capability (the reference only scores static eval
+lists offline, main.py:158-199):
+
+    python -m sls_tpu.cli.serve --run_dir models/<tag> --port 8321 \
+        [--int8] [--wire int16] [--batch 36] [--max_wait_ms 8]
+
+Then:
+
+    curl -s -X POST --data-binary @utt.pcm16 \
+        -H 'Content-Type: application/octet-stream' \
+        http://127.0.0.1:8321/score
+    curl -s http://127.0.0.1:8321/stats
+
+Scores match the offline score-file contract bit-for-bit (same jitted
+forward, same float64 exp; train/loop.py produce_scores).  ``--int8``
+enables the measured serving quantization (1.14x flagship, gated-zero
+EER cost — tests/test_int8_eer_cost.py); default keeps the
+checkpoint's own setting.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--run_dir", required=True, help="trained run directory")
+    p.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint path (default: last > best)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--batch", type=int, default=36,
+                   help="fixed device batch (36 = measured flagship "
+                        "layout sweet spot, bench.py)")
+    p.add_argument("--max_wait_ms", type=float, default=8.0,
+                   help="max time a non-full batch waits before dispatch")
+    p.add_argument("--wire", choices=("float32", "int16"), default="float32",
+                   help="host->device wire dtype (int16 halves the bytes; "
+                        "lossless for 16-bit sources)")
+    int8 = p.add_mutually_exclusive_group()
+    int8.add_argument("--int8", dest="int8", action="store_true",
+                      default=None, help="force int8 serving GEMMs on")
+    int8.add_argument("--no_int8", dest="int8", action="store_false",
+                      help="force the exact bf16 path")
+    return p
+
+
+def main(argv=None) -> int:
+    from sls_tpu.cli.main import _apply_platform_env
+
+    _apply_platform_env()  # SLS_TPU_PLATFORM=cpu for hermetic CI runs
+    args = build_parser().parse_args(argv)
+
+    from sls_tpu.serve.engine import BatchingEngine
+    from sls_tpu.serve.scorer import build_scorer
+    from sls_tpu.serve.server import make_server
+
+    print(f"loading {args.run_dir} (compile + warmup)...", flush=True)
+    cfg, forward, cut = build_scorer(
+        args.run_dir, args.checkpoint, int8=args.int8,
+        wire_dtype=args.wire, batch_size=args.batch,
+    )
+    family = cfg.model.sae.variant if cfg.model.use_sae else "sls"
+    engine = BatchingEngine(
+        forward, args.batch, cut=cut,
+        max_wait_ms=args.max_wait_ms, wire_dtype=args.wire,
+    ).start()
+    httpd = make_server(engine, args.host, args.port)
+    print(
+        f"serving {family} model on http://{args.host}:{args.port} "
+        f"(batch={args.batch}, wire={args.wire}, cut={cut})",
+        flush=True,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        engine.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

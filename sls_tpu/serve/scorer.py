@@ -1,0 +1,111 @@
+"""Build a jitted online scorer from a run directory, either family.
+
+Mirrors the offline loaders (cli/analyze.load_experiment /
+load_sls_experiment) but resolves the OPPOSITE int8 default: analysis
+strips int8 because it needs exact differentiable numerics, while
+serving is exactly what the int8 path is for (quant/int8.py: 1.14x at
+a gated-zero EER cost, tests/test_int8_eer_cost.py).  The checkpoint's
+own int8 setting is kept unless the caller overrides it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_serving_model(
+    run_dir: str,
+    checkpoint: Optional[str] = None,
+    int8: Optional[bool] = None,
+):
+    """(cfg, forward) for a run dir; family detected from the param tree.
+
+    ``forward(wav_wire [B, cut]) -> log_probs [B, 2]`` (device array;
+    callers fetch).  ``int8=None`` keeps the checkpoint's serving
+    config; True/False force it (scope stays the config's).
+    """
+    import jax
+
+    from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
+    from sls_tpu.config import ExperimentConfig, config_from_dict
+    from sls_tpu.train.steps import dequantize_wire
+
+    mgr = CheckpointManager(run_dir)
+    path = mgr.resolve_resume(checkpoint)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    raw, meta = load_checkpoint(path)
+    cfg = config_from_dict(ExperimentConfig, json.loads(meta["config_json"]))
+    if int8 is not None and bool(cfg.model.encoder.int8_serving) != int8:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                encoder=dataclasses.replace(
+                    cfg.model.encoder, int8_serving=int8),
+            ),
+        )
+    state = raw.get("state", raw)
+    params = state["params"]
+
+    # params ride as jit ARGUMENTS, not closure captures: captured
+    # device arrays become compile-time constants, and constant-folding
+    # a 300M-param tree stalls XLA for minutes (same mechanism as the
+    # r4 sls_head_root_cause finding, BENCH_NOTES_r4)
+    if "sls_head" in params:
+        from sls_tpu.models.sls import SLSDetector
+
+        model = SLSDetector(cfg.model)
+        batch_stats = state.get("batch_stats", {})
+
+        @jax.jit
+        def step(params, batch_stats, wav):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                dequantize_wire(wav), train=False,
+            )
+            return out["log_probs"]
+
+        forward = lambda wav: step(params, batch_stats, wav)  # noqa: E731
+    else:
+        from sls_tpu.models.detector import Detector
+
+        model = Detector(cfg.model)
+
+        @jax.jit
+        def step(params, wav):
+            out = model.apply(
+                {"params": params}, dequantize_wire(wav), train=False
+            )
+            return out["log_probs"]
+
+        forward = lambda wav: step(params, wav)  # noqa: E731
+
+    return cfg, forward
+
+
+def build_scorer(
+    run_dir: str,
+    checkpoint: Optional[str] = None,
+    *,
+    int8: Optional[bool] = None,
+    wire_dtype: str = "float32",
+    batch_size: int = 36,
+    warmup: bool = True,
+) -> Tuple[object, Callable, int]:
+    """(cfg, score_fn, cut) ready for BatchingEngine.
+
+    ``warmup`` runs one throwaway batch so the first real request pays
+    dispatch latency, not the 20-40 s XLA compile.
+    """
+    cfg, forward = load_serving_model(run_dir, checkpoint, int8=int8)
+    cut = cfg.train.cut_length
+    if warmup:
+        dtype = jnp.int16 if wire_dtype == "int16" else jnp.float32
+        np.asarray(forward(jnp.zeros((batch_size, cut), dtype)))
+    return cfg, forward, cut

@@ -1,0 +1,317 @@
+"""Serving subsystem: batching engine, HTTP front-end, scorer loader.
+
+Beyond-reference coverage (the reference has no online path; its eval
+loop is main.py:158-199).  Engine logic tests run against a stub
+scorer so they are fast and deterministic; the slow tier drives a real
+tiny trained checkpoint end-to-end over HTTP and asserts the served
+score equals the offline score-file contract.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sls_tpu.serve.engine import BatchingEngine, _log_probs_to_scores
+
+
+CUT = 1000
+
+
+def stub_score_fn(wav):
+    """Deterministic per-row scorer: log_probs encode the row mean, so
+    tests can verify request->row->response alignment exactly."""
+    wav = np.asarray(wav, np.float32)
+    p1 = 1.0 / (1.0 + np.exp(-wav.mean(axis=1) * 10.0))
+    p1 = np.clip(p1, 1e-6, 1 - 1e-6)
+    return np.log(np.stack([1 - p1, p1], axis=1))
+
+
+def expected_score(row_value: float) -> float:
+    wav = np.full((1, CUT), row_value, np.float32)
+    return float(_log_probs_to_scores(stub_score_fn(wav))[0])
+
+
+class TestEngine:
+    def test_single_request_partial_batch(self):
+        with BatchingEngine(stub_score_fn, 8, cut=CUT, max_wait_ms=1) as eng:
+            s = eng.score(np.full(CUT, 0.05, np.float32))
+        assert s == pytest.approx(expected_score(0.05), abs=1e-9)
+        st = eng.stats()
+        assert st.requests == 1 and st.batches == 1
+        assert st.mean_fill == pytest.approx(1 / 8)
+
+    def test_full_batch_alignment(self):
+        """Every concurrent request gets ITS OWN row's score back."""
+        B, n = 8, 24
+        values = np.linspace(-0.1, 0.1, n)
+        with BatchingEngine(stub_score_fn, B, cut=CUT, max_wait_ms=50) as eng:
+            futs = [
+                eng.submit(np.full(CUT, v, np.float32)) for v in values
+            ]
+            got = [f.result(30) for f in futs]
+        for v, s in zip(values, got):
+            assert s == pytest.approx(expected_score(v), abs=1e-9), v
+        st = eng.stats()
+        assert st.requests == n
+        # 24 requests at batch 8 with a generous wait: at most 4 batches
+        # (exact packing depends on thread scheduling)
+        assert st.batches <= 4
+
+    def test_short_audio_tiled_long_audio_cropped(self):
+        """pad_or_tile at submit: engine accepts arbitrary lengths."""
+        with BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=1) as eng:
+            s_short = eng.score(np.full(300, 0.07, np.float32))
+            s_long = eng.score(np.full(5 * CUT, 0.07, np.float32))
+        # constant audio tiles/crops to the same constant row
+        assert s_short == pytest.approx(expected_score(0.07), abs=1e-9)
+        assert s_long == pytest.approx(expected_score(0.07), abs=1e-9)
+
+    def test_resample_path(self):
+        """A 32k-rate submit is resampled (2x decimation) before tiling."""
+        with BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=1) as eng:
+            s = eng.score(np.full(2 * CUT, 0.07, np.float32),
+                          sample_rate=32000)
+        # FIR edge transients shift the row mean slightly on a constant
+        # signal; the stub amplifies mean error 10x through the sigmoid
+        assert s == pytest.approx(expected_score(0.07), abs=1e-2)
+
+    def test_scorer_exception_propagates(self):
+        def broken(wav):
+            raise RuntimeError("device on fire")
+
+        with BatchingEngine(broken, 4, cut=CUT, max_wait_ms=1) as eng:
+            fut = eng.submit(np.ones(CUT, np.float32))
+            with pytest.raises(RuntimeError, match="device on fire"):
+                fut.result(10)
+
+    def test_empty_audio_rejected(self):
+        with BatchingEngine(stub_score_fn, 4, cut=CUT) as eng:
+            with pytest.raises(ValueError, match="empty audio"):
+                eng.submit(np.zeros(0, np.float32))
+
+    def test_stop_fails_queued_requests(self):
+        """Requests still queued at shutdown error out, never hang."""
+        release = threading.Event()
+
+        def slow(wav):
+            release.wait(5)
+            return stub_score_fn(wav)
+
+        eng = BatchingEngine(slow, 1, cut=CUT, max_wait_ms=0).start()
+        futs = [eng.submit(np.ones(CUT, np.float32)) for _ in range(6)]
+        release.set()
+        eng.stop()
+        results = []
+        for f in futs:
+            try:
+                results.append(f.result(1))
+            except RuntimeError as e:
+                assert "engine stopped" in str(e)
+                results.append(None)
+        # every future resolved one way or the other
+        assert len(results) == 6
+
+    def test_throughput_batches_under_load(self):
+        """Under a burst, the engine packs near-full batches (the
+        reason it exists): mean fill well above single-request."""
+        B = 16
+        with BatchingEngine(
+            stub_score_fn, B, cut=CUT, max_wait_ms=20
+        ) as eng:
+            futs = []
+            for i in range(4 * B):
+                futs.append(eng.submit(np.full(CUT, 0.01, np.float32)))
+            for f in futs:
+                f.result(30)
+        st = eng.stats()
+        assert st.mean_fill > 0.5
+        assert st.p50_ms >= 0.0 and st.p99_ms >= st.p50_ms
+
+    def test_wire_int16(self):
+        """int16 wire: the stub sees quantized rows; scores match the
+        float path within the 1/32768 LSB."""
+        seen = {}
+
+        def capture(wav):
+            seen["dtype"] = np.asarray(wav).dtype
+            w = np.asarray(wav, np.float32)
+            if seen["dtype"] == np.int16:
+                w = w / 32768.0
+            return stub_score_fn(w)
+
+        with BatchingEngine(capture, 2, cut=CUT, max_wait_ms=1,
+                            wire_dtype="int16") as eng:
+            s = eng.score(np.full(CUT, 0.05, np.float32))
+        assert seen["dtype"] == np.int16
+        assert s == pytest.approx(expected_score(0.05), abs=1e-3)
+
+    def test_bad_wire_dtype_rejected_early(self):
+        with pytest.raises(ValueError, match="wire_dtype"):
+            BatchingEngine(stub_score_fn, 2, cut=CUT, wire_dtype="int4")
+
+
+def _post(url, data, headers):
+    req = urllib.request.Request(url, data=data, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:  # 4xx/5xx carry a JSON body too
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def http_server():
+    from sls_tpu.serve.server import make_server
+
+    eng = BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=1).start()
+    httpd = make_server(eng, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", eng
+    finally:
+        httpd.shutdown()
+        eng.stop()
+
+
+class TestHTTP:
+    def test_healthz_and_stats(self, http_server):
+        base, _ = http_server
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        with urllib.request.urlopen(base + "/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert {"requests", "batches", "p50_ms"} <= set(st)
+
+    def test_score_pcm16(self, http_server):
+        base, _ = http_server
+        wav = np.full(CUT, 0.05, np.float32)
+        pcm = np.clip(np.rint(wav * 32768), -32768, 32767).astype("<i2")
+        status, out = _post(
+            base + "/score", pcm.tobytes(),
+            {"Content-Type": "application/octet-stream"},
+        )
+        assert status == 200
+        assert out["score"] == pytest.approx(expected_score(0.05), abs=1e-3)
+        assert out["latency_ms"] >= 0
+
+    def test_score_json_with_resample(self, http_server):
+        base, _ = http_server
+        body = json.dumps({
+            "wav": [0.07] * (2 * CUT), "sample_rate": 32000,
+        }).encode()
+        status, out = _post(
+            base + "/score", body, {"Content-Type": "application/json"},
+        )
+        assert status == 200
+        assert out["score"] == pytest.approx(expected_score(0.07), abs=1e-2)
+
+    def test_score_batch(self, http_server):
+        base, _ = http_server
+        body = json.dumps({
+            "wavs": [[0.05] * CUT, [-0.05] * CUT],
+        }).encode()
+        status, out = _post(
+            base + "/score_batch", body,
+            {"Content-Type": "application/json"},
+        )
+        assert status == 200
+        assert out["scores"][0] == pytest.approx(
+            expected_score(0.05), abs=1e-9)
+        assert out["scores"][1] == pytest.approx(
+            expected_score(-0.05), abs=1e-9)
+
+    def test_bad_requests(self, http_server):
+        base, _ = http_server
+        # odd byte count
+        status, out = _post(
+            base + "/score", b"\x00\x01\x02",
+            {"Content-Type": "application/octet-stream"},
+        )
+        assert status == 400 and "odd byte count" in out["error"]
+        # empty body
+        status, out = _post(
+            base + "/score", b"",
+            {"Content-Type": "application/octet-stream"},
+        )
+        assert status == 400
+        # unknown path
+        status, out = _post(
+            base + "/nope", b"{}", {"Content-Type": "application/json"})
+        assert status == 404
+
+
+@pytest.mark.slow
+class TestServeRealModel:
+    def test_served_score_matches_offline_contract(self, tmp_path):
+        """End-to-end: tiny trained run dir -> build_scorer -> engine ->
+        HTTP -> score equals the offline eval-step score contract."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from sls_tpu.config import ExperimentConfig, RawBoostConfig, TrainConfig
+        from sls_tpu.data.pipeline import ArrayLoader
+        from sls_tpu.serve.scorer import build_scorer
+        from sls_tpu.serve.server import make_server
+        from sls_tpu.train.loop import Trainer
+        from tests.test_detector_train import (
+            WAV_LEN, synthetic_batch, tiny_model_config,
+        )
+
+        run_dir = tmp_path / "serve_run"
+        cfg = ExperimentConfig(
+            model=tiny_model_config(),
+            train=TrainConfig(
+                batch_size=8, lr=1e-3, num_epochs=1, cut_length=WAV_LEN,
+                rawboost=dataclasses.replace(RawBoostConfig(), algo=0),
+            ),
+        )
+        rng = np.random.default_rng(0)
+        wav, y = synthetic_batch(rng, 16)
+        loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+        trainer = Trainer(cfg, run_dir, tensorboard=False)
+        trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+        trainer.fit(loader, loader)
+
+        scfg, forward, cut = build_scorer(
+            str(run_dir), batch_size=4, warmup=True)
+        assert cut == WAV_LEN
+
+        # offline contract at the SAME batch shape the engine dispatches
+        # (XLA numerics are only bit-stable within one compiled shape)
+        test_wav = np.asarray(wav[0], np.float32)
+        batch4 = np.tile(test_wav[None], (4, 1))
+        logp = np.asarray(forward(jnp.asarray(batch4)))
+        offline = float(_log_probs_to_scores(logp)[0])
+
+        eng = BatchingEngine(forward, 4, cut=cut, max_wait_ms=1).start()
+        httpd = make_server(eng, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            pcm = np.clip(
+                np.rint(test_wav * 32768), -32768, 32767).astype("<i2")
+            status, out = _post(
+                base + "/score", pcm.tobytes(),
+                {"Content-Type": "application/octet-stream"},
+            )
+        finally:
+            httpd.shutdown()
+            eng.stop()
+        assert status == 200
+        # int16 PCM on the wire: one LSB of quantization vs the float
+        # forward; the engine itself adds zero numeric difference
+        assert out["score"] == pytest.approx(offline, abs=1e-3)
+
+        # exact check: the float wire through the engine is bit-equal to
+        # the offline contract at the same batch shape — the engine adds
+        # zero numeric difference
+        with BatchingEngine(forward, 4, cut=cut, max_wait_ms=1) as eng2:
+            direct = eng2.score(test_wav)
+        assert direct == pytest.approx(offline, rel=0, abs=0)
