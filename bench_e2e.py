@@ -85,9 +85,14 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="/tmp/sls_e2e_scores.txt")
     parser.add_argument("--no_pallas", dest="pallas", action="store_false",
                         default=True)
-    parser.add_argument("--wire_int16", action="store_true",
-                        help="upload int16 waveforms (half the bytes; "
-                        "lossless for 16-bit FLAC — see pipeline.to_wire)")
+    wiregrp = parser.add_mutually_exclusive_group()
+    wiregrp.add_argument("--wire_int16", action="store_true",
+                         help="upload int16 waveforms (half the bytes; "
+                         "lossless for 16-bit FLAC — see pipeline.to_wire)")
+    wiregrp.add_argument("--wire_mulaw", action="store_true",
+                         help="upload 8-bit mu-law waveforms (quarter the "
+                         "float32 bytes; LOSSY — data/mulaw.py, accuracy "
+                         "gate in tests/test_mulaw.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -103,7 +108,8 @@ def main(argv=None) -> int:
 
     model, cfg = build_flagship(args.pallas)
     _, params, wav = init_flagship(model, args.batch)
-    wire = "int16" if args.wire_int16 else "float32"
+    wire = ("mulaw" if args.wire_mulaw
+            else "int16" if args.wire_int16 else "float32")
 
     # mirror the production eval step (train/steps.py make_eval_step):
     # dequantize the wire format INSIDE the jitted program — without
@@ -117,10 +123,10 @@ def main(argv=None) -> int:
             {"params": params}, dequantize_wire(w), train=False
         )["score"]
 
-    if args.wire_int16:
+    if wire != "float32":
         from sls_tpu.data.pipeline import to_wire
 
-        wav = to_wire(np.asarray(wav), "int16")
+        wav = to_wire(np.asarray(wav), wire)
     t0 = time.time()
     jax.device_get(forward(params, wav))  # compile outside the timing
     print(f"# compile+first-run {time.time() - t0:.1f}s", file=sys.stderr)
@@ -148,7 +154,8 @@ def main(argv=None) -> int:
     print(f"# native-decode: {native_ups:.1f} utts/s", file=sys.stderr)
 
     # component rate 3: host->device upload bandwidth for one batch
-    batch_bytes = args.batch * WAV_LEN * (2 if args.wire_int16 else 4)
+    bytes_per = {"float32": 4, "int16": 2, "mulaw": 1}[wire]
+    batch_bytes = args.batch * WAV_LEN * bytes_per
     up = np.asarray(wav)
     jax.device_put(up).block_until_ready()
     t0 = time.time()

@@ -61,10 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="which matmuls go int8: 'ffn' (fc1/fc2; measured "
                    "1.14x) or 'all' (+QKVO; measured 0.94x — for wider "
                    "layer configs only)")
-    p.add_argument("--wire_int16", action="store_true",
-                   help="upload waveforms as int16 (half the host->device "
-                   "bytes; device dequantizes in-step — lossless for "
-                   "16-bit sources like all ASVspoof FLAC)")
+    wire = p.add_mutually_exclusive_group()
+    wire.add_argument("--wire_int16", action="store_true",
+                      help="upload waveforms as int16 (half the "
+                      "host->device bytes; device dequantizes in-step — "
+                      "lossless for 16-bit sources like all ASVspoof FLAC)")
+    wire.add_argument("--wire_mulaw", action="store_true",
+                      help="upload waveforms as 8-bit mu-law (quarter the "
+                      "float32 bytes; LOSSY ~35-38 dB speech SNR — opt-in "
+                      "for wire-bandwidth-bound serving, accuracy gate in "
+                      "tests/test_mulaw.py)")
     # SAE (reference: main.py:430-441)
     p.add_argument("--use_sae", action="store_true", default=True)
     p.add_argument("--no_sae", dest="use_sae", action="store_false")
@@ -385,7 +391,7 @@ def run_eval(args, cfg, trainer):
             index, batch_size=args.batch_size, shuffle=False,
             cut=cfg.train.cut_length,
             limit_batches=5 if args.quick_test else None,
-            wire_dtype="int16" if args.wire_int16 else "float32",
+            wire_dtype=_wire_dtype(args),
         )
         n = trainer.produce_scores(loader, out)
     print(f"wrote {n} scores to {out}")
@@ -418,7 +424,7 @@ def run_train(args, cfg, trainer):
             jax.process_index(), jax.process_count()
         )
     limit = 5 if args.quick_test else None
-    wire = "int16" if args.wire_int16 else "float32"
+    wire = _wire_dtype(args)
     train_loader = BatchLoader(train_index, args.batch_size, shuffle=True,
                                cut=cfg.train.cut_length, seed=args.seed,
                                limit_batches=limit, wire_dtype=wire)
@@ -426,6 +432,12 @@ def run_train(args, cfg, trainer):
                              cut=cfg.train.cut_length, limit_batches=limit,
                              wire_dtype=wire)
     trainer.fit(train_loader, dev_loader)
+
+
+def _wire_dtype(args) -> str:
+    if getattr(args, "wire_mulaw", False):
+        return "mulaw"
+    return "int16" if args.wire_int16 else "float32"
 
 
 def _apply_platform_env():

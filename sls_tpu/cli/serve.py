@@ -37,9 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "layout sweet spot, bench.py)")
     p.add_argument("--max_wait_ms", type=float, default=8.0,
                    help="max time a non-full batch waits before dispatch")
-    p.add_argument("--wire", choices=("float32", "int16"), default="float32",
-                   help="host->device wire dtype (int16 halves the bytes; "
-                        "lossless for 16-bit sources)")
+    p.add_argument("--wire", choices=("float32", "int16", "mulaw"),
+                   default="float32",
+                   help="host->device wire dtype (int16 halves the bytes, "
+                        "lossless for 16-bit sources; mulaw quarters them, "
+                        "LOSSY — accuracy gate in tests/test_mulaw.py)")
     int8 = p.add_mutually_exclusive_group()
     int8.add_argument("--int8", dest="int8", action="store_true",
                       default=None, help="force int8 serving GEMMs on")

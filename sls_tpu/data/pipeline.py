@@ -129,14 +129,22 @@ def to_wire(wavs: np.ndarray, wire_dtype: str) -> np.ndarray:
     16-bit FLAC) the decoder emits exactly ``i16/32768``, so the round
     trip is LOSSLESS and scores are bit-identical to the float32 wire;
     resampled or >16-bit sources round by at most half an LSB (-96 dB).
+
+    ``mulaw`` halves the bytes AGAIN (8-bit G.711-style companding,
+    data/mulaw.py) — LOSSY (~35-38 dB speech SNR), strictly opt-in for
+    wire-bandwidth-bound serving; accuracy gate in tests/test_mulaw.py.
     """
     if wire_dtype == "float32":
         return wavs
-    if wire_dtype != "int16":
-        raise ValueError(f"unknown wire_dtype: {wire_dtype!r}")
-    return np.clip(
-        np.rint(wavs.astype(np.float32) * 32768.0), -32768, 32767
-    ).astype(np.int16)
+    if wire_dtype == "int16":
+        return np.clip(
+            np.rint(wavs.astype(np.float32) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+    if wire_dtype == "mulaw":
+        from sls_tpu.data.mulaw import mulaw_encode
+
+        return mulaw_encode(wavs)
+    raise ValueError(f"unknown wire_dtype: {wire_dtype!r}")
 
 
 class BatchLoader:
@@ -218,11 +226,22 @@ class BatchLoader:
                 # throughput on the 1-core bench image (380 -> 107 utts/s)
                 from sls_tpu.data.flac import decode_batch
 
-                wavs = decode_batch(
-                    [self.index.paths[i] for i in sel], self.cut,
-                    n_threads=decode_threads,
-                    dtype=self.wire_dtype,
-                )
+                if self.wire_dtype == "mulaw":
+                    # decode int16 in C++, compand via one vectorized
+                    # table take (exact on the int16 grid; no per-sample
+                    # log on the host path — data/mulaw.py)
+                    from sls_tpu.data.mulaw import mulaw_from_int16
+
+                    wavs = mulaw_from_int16(decode_batch(
+                        [self.index.paths[i] for i in sel], self.cut,
+                        n_threads=decode_threads, dtype="int16",
+                    ))
+                else:
+                    wavs = decode_batch(
+                        [self.index.paths[i] for i in sel], self.cut,
+                        n_threads=decode_threads,
+                        dtype=self.wire_dtype,
+                    )
             else:
                 wavs = to_wire(np.stack(
                     [_decode_one(self.index.paths[i], self.cut) for i in sel]

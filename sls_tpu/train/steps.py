@@ -33,14 +33,23 @@ class TrainState(train_state.TrainState):
 
 
 def dequantize_wire(wav: jnp.ndarray) -> jnp.ndarray:
-    """int16 wire format -> float32 audio (data/pipeline.to_wire).
+    """Wire format -> float32 audio (data/pipeline.to_wire).
 
     The dtype check happens at trace time, so the float path compiles to
-    nothing, and the int16 path's scale-multiply fuses into the first
-    feature-extractor conv.  Lossless for 16-bit sources: to_wire emits
-    round(f * 32768) and this inverts it exactly."""
+    nothing, and the quantized paths' elementwise decodes fuse into the
+    first feature-extractor conv's input read.
+
+    int16: lossless for 16-bit sources — to_wire emits round(f * 32768)
+    and this inverts it exactly.
+    uint8: mu-law companding (data/mulaw.py, mu=255) — LOSSY opt-in wire
+    for bandwidth-bound serving; must match mulaw.mulaw_decode exactly
+    (tests/test_mulaw.py asserts the two decoders agree)."""
     if wav.dtype == jnp.int16:
         return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    if wav.dtype == jnp.uint8:
+        y = wav.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        ln256 = 5.545177444479562  # log(256), mu=255 companding
+        return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * ln256) * (1.0 / 255.0))
     return wav
 
 
