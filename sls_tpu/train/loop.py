@@ -305,9 +305,10 @@ class BaseTrainer:
             )
             wav = jnp.asarray(wav_np)
             if aug_cfg.algo in range(1, 9):
-                if wav.dtype == jnp.int16:
-                    # RawBoost filters float audio; dequantize the int16
-                    # wire on device before augmenting (one fused op)
+                if wav.dtype != jnp.float32:
+                    # RawBoost filters float audio; dequantize any
+                    # quantized wire (int16 or mu-law uint8) on device
+                    # before augmenting (one fused op)
                     from sls_tpu.train.steps import dequantize_wire
 
                     wav = dequantize_wire(wav)

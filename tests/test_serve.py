@@ -315,3 +315,39 @@ class TestServeRealModel:
         with BatchingEngine(forward, 4, cut=cut, max_wait_ms=1) as eng2:
             direct = eng2.score(test_wav)
         assert direct == pytest.approx(offline, rel=0, abs=0)
+
+    def test_build_scorer_sls_family(self, tmp_path):
+        """The scorer loader's SLS branch: family auto-detected from the
+        param tree ('sls_head'), batch_stats threaded through, scores in
+        [0, 1]."""
+        import dataclasses
+
+        from sls_tpu.config import ExperimentConfig, RawBoostConfig, TrainConfig
+        from sls_tpu.data.pipeline import ArrayLoader
+        from sls_tpu.models.sls import SLSTrainer
+        from sls_tpu.serve.scorer import build_scorer
+        from tests.test_detector_train import (
+            WAV_LEN, synthetic_batch, tiny_model_config,
+        )
+
+        run_dir = tmp_path / "sls_run"
+        cfg = ExperimentConfig(
+            model=tiny_model_config(use_sae=False),
+            train=TrainConfig(
+                batch_size=8, lr=1e-3, num_epochs=1, cut_length=WAV_LEN,
+                rawboost=dataclasses.replace(RawBoostConfig(), algo=0),
+            ),
+        )
+        rng = np.random.default_rng(1)
+        wav, y = synthetic_batch(rng, 16)
+        loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+        trainer = SLSTrainer(cfg, run_dir, tensorboard=False)
+        trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+        trainer.fit(loader, loader)
+
+        scfg, forward, cut = build_scorer(
+            str(run_dir), batch_size=2, warmup=True)
+        assert not scfg.model.use_sae  # SLS family detected
+        with BatchingEngine(forward, 2, cut=cut, max_wait_ms=1) as eng:
+            s = eng.score(np.asarray(wav[0], np.float32))
+        assert 0.0 <= s <= 1.0
