@@ -100,15 +100,12 @@ def run_open_loop(engine, pool, rate: float, duration_s: float):
             time.sleep(delay)
         t0 = time.monotonic()
         futures.append((t0, engine.submit(pool[i % len(pool)])))
-    lats = []
-    for t0, f in futures:
+    for _, f in futures:
         f.result(300)
-        # completion time is when the future resolved; approximate by
-        # measuring now only for still-pending ones is wrong, so we use
-        # the engine's own latency record instead
     elapsed = time.monotonic() - t_start
-    st = engine.stats()
-    return st, n / elapsed
+    # latency percentiles come from the engine's own per-request record
+    # (submit -> flush), which is what a caller observes
+    return engine.stats(), n / elapsed
 
 
 def main(argv=None) -> int:
