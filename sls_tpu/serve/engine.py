@@ -163,6 +163,10 @@ class BatchingEngine:
         nothing but assembly and dispatch.  Non-16k audio is resampled
         (the reference's torchaudio eval variant behavior).
         """
+        wav = self._prepare(wav, sample_rate)
+        return self._submit_row(pad_or_tile(wav, self.cut))
+
+    def _prepare(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
         wav = np.asarray(wav, np.float32).reshape(-1)
         if wav.size == 0:
             raise ValueError("empty audio")
@@ -170,18 +174,51 @@ class BatchingEngine:
             from sls_tpu.data.audio import resample_to_16k
 
             wav = resample_to_16k(wav, sample_rate)
-        row = pad_or_tile(wav, self.cut).astype(np.float32)
+        return wav
+
+    def _submit_row(self, row: np.ndarray) -> Future:
         fut: Future = Future()
-        req = _Request(wav=row, future=fut, t_submit=time.monotonic())
+        req = _Request(wav=np.asarray(row, np.float32), future=fut,
+                       t_submit=time.monotonic())
         self._q.put(req)
         with self._lock:
             self._requests += 1
         return fut
 
+    def submit_windows(self, wav: np.ndarray, sample_rate: int = 16000,
+                       stride: Optional[int] = None) -> List[Future]:
+        """One future per overlapping window of a LONG utterance.
+
+        Window extraction follows the offline full-utterance contract
+        exactly (evaluation/overlap.extract_windows: stride cut//2 by
+        default, tail window right-aligned, short audio repeat-tiled to
+        one window), so a served long-clip score aggregates the same
+        per-window scores the offline ``--full_utterance`` path uses.
+        Windows interleave with other traffic in the batcher.
+        """
+        from sls_tpu.evaluation.overlap import extract_windows
+
+        wav = self._prepare(wav, sample_rate)
+        rows = extract_windows(wav, self.cut, stride)
+        return [self._submit_row(r) for r in rows]
+
     def score(self, wav: np.ndarray, sample_rate: int = 16000,
               timeout: Optional[float] = 30.0) -> float:
         """Blocking convenience wrapper around submit()."""
         return self.submit(wav, sample_rate).result(timeout)
+
+    def score_long(self, wav: np.ndarray, sample_rate: int = 16000,
+                   stride: Optional[int] = None, aggregate: str = "mean",
+                   timeout: Optional[float] = 120.0):
+        """Blocking long-clip score: (aggregated P(bonafide), n_windows).
+
+        ``aggregate`` mirrors evaluation/overlap.score_full_utterance:
+        'mean' (default), 'min' (one spoofed span flags the clip), 'max'.
+        """
+        agg = {"mean": np.mean, "min": np.min, "max": np.max}[aggregate]
+        futs = self.submit_windows(wav, sample_rate, stride)
+        vals = [f.result(timeout) for f in futs]
+        return float(agg(vals)), len(vals)
 
     # -- stats -------------------------------------------------------------
 

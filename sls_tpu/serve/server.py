@@ -12,6 +12,11 @@ Endpoints (all JSON responses):
 - ``POST /score_batch`` — JSON ``{"wavs": [[...], ...], "sample_rate"}``;
   response ``{"scores": [...]}``.  Each utterance is submitted
   individually so the engine can interleave them with other traffic.
+- ``POST /score_long`` — same body formats as /score for a clip of ANY
+  length; scored with overlapping windows per the offline
+  full-utterance contract (evaluation/overlap.extract_windows), window
+  scores aggregated by header ``X-Aggregate`` (mean|min|max, default
+  mean).  Response ``{"score", "n_windows", "aggregate", "latency_ms"}``.
 - ``GET /healthz`` — liveness.
 - ``GET /stats`` — engine counters + latency percentiles.
 
@@ -90,6 +95,22 @@ class _Handler(BaseHTTPRequestHandler):
                 score = self.engine.score(wav, sample_rate=sr)
                 self._reply(200, {
                     "score": score,
+                    "latency_ms": round((time.monotonic() - t0) * 1e3, 3),
+                })
+            elif self.path == "/score_long":
+                # long clip: overlap-window scoring, offline
+                # full-utterance contract (engine.score_long)
+                wav, sr = _parse_audio(self)
+                agg = self.headers.get("X-Aggregate", "mean")
+                if agg not in ("mean", "min", "max"):
+                    raise ValueError(f"unknown aggregate {agg!r}")
+                t0 = time.monotonic()
+                score, n_win = self.engine.score_long(
+                    wav, sample_rate=sr, aggregate=agg)
+                self._reply(200, {
+                    "score": score,
+                    "n_windows": n_win,
+                    "aggregate": agg,
                     "latency_ms": round((time.monotonic() - t0) * 1e3, 3),
                 })
             elif self.path == "/score_batch":

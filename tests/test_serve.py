@@ -131,6 +131,31 @@ class TestEngine:
         assert st.mean_fill > 0.5
         assert st.p50_ms >= 0.0 and st.p99_ms >= st.p50_ms
 
+    def test_score_long_matches_offline_window_contract(self):
+        """score_long must aggregate exactly the windows the offline
+        full-utterance path extracts (stride cut//2, right-aligned
+        tail) — verified against extract_windows + the stub directly."""
+        from sls_tpu.evaluation.overlap import extract_windows
+
+        rng = np.random.default_rng(3)
+        wav = rng.normal(0, 0.05, size=int(2.7 * CUT)).astype(np.float32)
+        windows = extract_windows(wav, CUT)
+        from sls_tpu.serve.engine import _log_probs_to_scores as to_s
+
+        expect_each = to_s(stub_score_fn(windows))
+        with BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=5) as eng:
+            s_mean, n = eng.score_long(wav)
+            s_min, _ = eng.score_long(wav, aggregate="min")
+        assert n == len(windows) and n >= 5  # overlap: > ceil(2.7)
+        assert s_mean == pytest.approx(float(np.mean(expect_each)), abs=1e-9)
+        assert s_min == pytest.approx(float(np.min(expect_each)), abs=1e-9)
+
+    def test_score_long_short_audio_single_window(self):
+        with BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=1) as eng:
+            s, n = eng.score_long(np.full(300, 0.07, np.float32))
+        assert n == 1
+        assert s == pytest.approx(expected_score(0.07), abs=1e-9)
+
     def test_wire_int16(self):
         """int16 wire: the stub sees quantized rows; scores match the
         float path within the 1/32768 LSB."""
@@ -224,6 +249,27 @@ class TestHTTP:
             expected_score(0.05), abs=1e-9)
         assert out["scores"][1] == pytest.approx(
             expected_score(-0.05), abs=1e-9)
+
+    def test_score_long_endpoint(self, http_server):
+        base, _ = http_server
+        rng = np.random.default_rng(5)
+        wav = rng.normal(0, 0.03, size=int(2.2 * CUT)).astype(np.float32)
+        pcm = np.clip(np.rint(wav * 32768), -32768, 32767).astype("<i2")
+        status, out = _post(
+            base + "/score_long", pcm.tobytes(),
+            {"Content-Type": "application/octet-stream",
+             "X-Aggregate": "min"},
+        )
+        assert status == 200
+        assert out["n_windows"] >= 4 and out["aggregate"] == "min"
+        assert 0.0 <= out["score"] <= 1.0
+        # bad aggregate is a 400, not a 500
+        status, out = _post(
+            base + "/score_long", pcm.tobytes(),
+            {"Content-Type": "application/octet-stream",
+             "X-Aggregate": "median"},
+        )
+        assert status == 400 and "aggregate" in out["error"]
 
     def test_bad_requests(self, http_server):
         base, _ = http_server
