@@ -243,11 +243,16 @@ class BatchingEngine:
 
     # -- worker ------------------------------------------------------------
 
-    def _collect(self) -> List[_Request]:
+    def _collect(self, have_pending: bool = False) -> List[_Request]:
         """Block for the first request, then fill up to batch_size
-        within the max_wait window."""
+        within the max_wait window.
+
+        With a batch already in flight the first-request wait is cut to
+        5 ms: the 100 ms idle poll would otherwise sit between the
+        in-flight batch finishing on device and its flush, adding up to
+        100 ms to every pipelined request's latency at low traffic."""
         try:
-            first = self._q.get(timeout=0.1)
+            first = self._q.get(timeout=0.005 if have_pending else 0.1)
         except queue.Empty:
             return []
         items = [first]
@@ -300,7 +305,7 @@ class BatchingEngine:
     def _run(self) -> None:
         pending = None  # one batch in flight: fetch of N overlaps compute of N+1
         while not self._stop.is_set():
-            items = self._collect()
+            items = self._collect(have_pending=pending is not None)
             if not items:
                 if pending is not None:
                     self._flush(pending)
