@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device wire dtype (int16 halves the bytes, "
                         "lossless for 16-bit sources; mulaw quarters them, "
                         "LOSSY — accuracy gate in tests/test_mulaw.py)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel serving over N devices (0 = single "
+                        "device): every engine batch shards over a 'data' "
+                        "mesh, one server saturates the slice; --batch "
+                        "must be divisible by N")
     int8 = p.add_mutually_exclusive_group()
     int8.add_argument("--int8", dest="int8", action="store_true",
                       default=None, help="force int8 serving GEMMs on")
@@ -60,10 +65,17 @@ def main(argv=None) -> int:
     from sls_tpu.serve.scorer import build_scorer
     from sls_tpu.serve.server import make_server
 
+    mesh = None
+    if args.dp:
+        import jax
+
+        from sls_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.dp])
     print(f"loading {args.run_dir} (compile + warmup)...", flush=True)
     cfg, forward, cut = build_scorer(
         args.run_dir, args.checkpoint, int8=args.int8,
-        wire_dtype=args.wire, batch_size=args.batch,
+        wire_dtype=args.wire, batch_size=args.batch, mesh=mesh,
     )
     family = cfg.model.sae.variant if cfg.model.use_sae else "sls"
     engine = BatchingEngine(

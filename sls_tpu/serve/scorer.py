@@ -22,12 +22,19 @@ def load_serving_model(
     run_dir: str,
     checkpoint: Optional[str] = None,
     int8: Optional[bool] = None,
+    mesh=None,
 ):
     """(cfg, forward) for a run dir; family detected from the param tree.
 
     ``forward(wav_wire [B, cut]) -> log_probs [B, 2]`` (device array;
     callers fetch).  ``int8=None`` keeps the checkpoint's serving
     config; True/False force it (scope stays the config's).
+
+    ``mesh``: a 1-D 'data' jax.sharding.Mesh for multi-chip serving —
+    params replicate, every engine batch shards over the data axis, so
+    one BatchingEngine saturates a whole slice (the engine's fixed
+    batch must divide the axis; same dp layout as produce_scores,
+    train/loop.py).
     """
     import jax
 
@@ -53,6 +60,25 @@ def load_serving_model(
     state = raw.get("state", raw)
     params = state["params"]
 
+    batch_stats = state.get("batch_stats", {})
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sls_tpu.parallel.mesh import replicate
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+
+        def jit_step(f, n_args):
+            # wav is the LAST positional arg of both step signatures
+            return jax.jit(
+                f, in_shardings=tuple([repl] * (n_args - 1) + [data]))
+    else:
+        def jit_step(f, n_args):
+            return jax.jit(f)
+
     # params ride as jit ARGUMENTS, not closure captures: captured
     # device arrays become compile-time constants, and constant-folding
     # a 300M-param tree stalls XLA for minutes (same mechanism as the
@@ -61,9 +87,7 @@ def load_serving_model(
         from sls_tpu.models.sls import SLSDetector
 
         model = SLSDetector(cfg.model)
-        batch_stats = state.get("batch_stats", {})
 
-        @jax.jit
         def step(params, batch_stats, wav):
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats},
@@ -71,19 +95,20 @@ def load_serving_model(
             )
             return out["log_probs"]
 
+        step = jit_step(step, 3)
         forward = lambda wav: step(params, batch_stats, wav)  # noqa: E731
     else:
         from sls_tpu.models.detector import Detector
 
         model = Detector(cfg.model)
 
-        @jax.jit
         def step(params, wav):
             out = model.apply(
                 {"params": params}, dequantize_wire(wav), train=False
             )
             return out["log_probs"]
 
+        step = jit_step(step, 2)
         forward = lambda wav: step(params, wav)  # noqa: E731
 
     return cfg, forward
@@ -97,13 +122,21 @@ def build_scorer(
     wire_dtype: str = "float32",
     batch_size: int = 36,
     warmup: bool = True,
+    mesh=None,
 ) -> Tuple[object, Callable, int]:
     """(cfg, score_fn, cut) ready for BatchingEngine.
 
     ``warmup`` runs one throwaway batch so the first real request pays
-    dispatch latency, not the 20-40 s XLA compile.
+    dispatch latency, not the 20-40 s XLA compile.  ``mesh``: dp-shard
+    every engine batch over a 'data' mesh (batch_size must divide the
+    axis; see load_serving_model).
     """
-    cfg, forward = load_serving_model(run_dir, checkpoint, int8=int8)
+    if mesh is not None and batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by the mesh's "
+            f"data axis ({mesh.shape['data']}) for dp serving")
+    cfg, forward = load_serving_model(run_dir, checkpoint, int8=int8,
+                                      mesh=mesh)
     cut = cfg.train.cut_length
     if warmup:
         dtype = jnp.int16 if wire_dtype == "int16" else jnp.float32

@@ -291,8 +291,61 @@ class TestHTTP:
         assert status == 404
 
 
+@pytest.fixture(scope="module")
+def detector_run_dir(tmp_path_factory):
+    """One tiny trained detector run dir shared by the slow serve tests."""
+    import dataclasses
+
+    from sls_tpu.config import ExperimentConfig, RawBoostConfig, TrainConfig
+    from sls_tpu.data.pipeline import ArrayLoader
+    from sls_tpu.train.loop import Trainer
+    from tests.test_detector_train import (
+        WAV_LEN, synthetic_batch, tiny_model_config,
+    )
+
+    run_dir = tmp_path_factory.mktemp("serve_run")
+    cfg = ExperimentConfig(
+        model=tiny_model_config(),
+        train=TrainConfig(
+            batch_size=8, lr=1e-3, num_epochs=1, cut_length=WAV_LEN,
+            rawboost=dataclasses.replace(RawBoostConfig(), algo=0),
+        ),
+    )
+    rng = np.random.default_rng(0)
+    wav, y = synthetic_batch(rng, 16)
+    loader = ArrayLoader(np.asarray(wav), np.asarray(y), batch_size=8)
+    trainer = Trainer(cfg, run_dir, tensorboard=False)
+    trainer.init_state(np.zeros((2, WAV_LEN), np.float32))
+    trainer.fit(loader, loader)
+    return str(run_dir), np.asarray(wav, np.float32)
+
+
 @pytest.mark.slow
 class TestServeRealModel:
+    def test_dp_mesh_scorer_matches_single_device(self, detector_run_dir):
+        """Multi-chip serving: build_scorer over an 8-device 'data' mesh
+        shards every engine batch dp; scores match the single-device
+        scorer (reduction-order tolerance only)."""
+        import jax.numpy as jnp
+
+        from sls_tpu.parallel.mesh import make_mesh
+        from sls_tpu.serve.scorer import build_scorer
+
+        run_dir, wav = detector_run_dir
+        mesh = make_mesh()  # 8 virtual CPU devices, ('data',)
+        assert mesh.shape["data"] == 8
+        _, fwd_dp, cut = build_scorer(
+            run_dir, batch_size=8, warmup=False, mesh=mesh)
+        _, fwd_1, _ = build_scorer(run_dir, batch_size=8, warmup=False)
+
+        batch = wav[:8]
+        logp_dp = np.asarray(fwd_dp(jnp.asarray(batch)))
+        logp_1 = np.asarray(fwd_1(jnp.asarray(batch)))
+        np.testing.assert_allclose(logp_dp, logp_1, rtol=0, atol=2e-5)
+
+        with pytest.raises(ValueError, match="divisible"):
+            build_scorer(run_dir, batch_size=6, warmup=False, mesh=mesh)
+
     def test_served_score_matches_offline_contract(self, tmp_path):
         """End-to-end: tiny trained run dir -> build_scorer -> engine ->
         HTTP -> score equals the offline eval-step score contract."""
