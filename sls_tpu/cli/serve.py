@@ -27,7 +27,12 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--run_dir", required=True, help="trained run directory")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--run_dir", help="trained run directory")
+    src.add_argument("--from_export",
+                     help="serve a cli/export deployment artifact instead "
+                          "of a run dir; batch/wire/int8 come from its "
+                          "manifest (the exported program cannot retrace)")
     p.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint path (default: last > best)")
     p.add_argument("--host", default="127.0.0.1")
@@ -62,30 +67,44 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from sls_tpu.serve.engine import BatchingEngine
-    from sls_tpu.serve.scorer import build_scorer
     from sls_tpu.serve.server import make_server
 
-    mesh = None
-    if args.dp:
-        import jax
+    if args.from_export:
+        if args.dp:
+            print("ERROR: --dp needs a run dir (exported programs carry "
+                  "their sharding; re-export on the target mesh instead)")
+            return 2
+        from sls_tpu.serve.export import build_scorer_from_export
 
-        from sls_tpu.parallel.mesh import make_mesh
+        print(f"loading artifact {args.from_export} (warmup)...", flush=True)
+        manifest, forward, cut = build_scorer_from_export(args.from_export)
+        family = manifest["family"]
+        batch, wire = manifest["batch_size"], manifest["wire_dtype"]
+    else:
+        from sls_tpu.serve.scorer import build_scorer
 
-        mesh = make_mesh(jax.devices()[: args.dp])
-    print(f"loading {args.run_dir} (compile + warmup)...", flush=True)
-    cfg, forward, cut = build_scorer(
-        args.run_dir, args.checkpoint, int8=args.int8,
-        wire_dtype=args.wire, batch_size=args.batch, mesh=mesh,
-    )
-    family = cfg.model.sae.variant if cfg.model.use_sae else "sls"
+        mesh = None
+        if args.dp:
+            import jax
+
+            from sls_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(jax.devices()[: args.dp])
+        print(f"loading {args.run_dir} (compile + warmup)...", flush=True)
+        cfg, forward, cut = build_scorer(
+            args.run_dir, args.checkpoint, int8=args.int8,
+            wire_dtype=args.wire, batch_size=args.batch, mesh=mesh,
+        )
+        family = cfg.model.sae.variant if cfg.model.use_sae else "sls"
+        batch, wire = args.batch, args.wire
     engine = BatchingEngine(
-        forward, args.batch, cut=cut,
-        max_wait_ms=args.max_wait_ms, wire_dtype=args.wire,
+        forward, batch, cut=cut,
+        max_wait_ms=args.max_wait_ms, wire_dtype=wire,
     ).start()
     httpd = make_server(engine, args.host, args.port)
     print(
         f"serving {family} model on http://{args.host}:{args.port} "
-        f"(batch={args.batch}, wire={args.wire}, cut={cut})",
+        f"(batch={batch}, wire={wire}, cut={cut})",
         flush=True,
     )
     try:

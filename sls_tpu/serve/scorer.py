@@ -18,26 +18,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_serving_model(
+def load_serving_parts(
     run_dir: str,
     checkpoint: Optional[str] = None,
     int8: Optional[bool] = None,
-    mesh=None,
 ):
-    """(cfg, forward) for a run dir; family detected from the param tree.
+    """(cfg, step, args): the UNJITTED family forward and its non-wav
+    arguments, for callers that wrap the staging themselves —
+    ``load_serving_model`` jits it; ``serve/export.py`` feeds it to
+    ``jax.export``.
 
-    ``forward(wav_wire [B, cut]) -> log_probs [B, 2]`` (device array;
-    callers fetch).  ``int8=None`` keeps the checkpoint's serving
-    config; True/False force it (scope stays the config's).
-
-    ``mesh``: a 1-D 'data' jax.sharding.Mesh for multi-chip serving —
-    params replicate, every engine batch shards over the data axis, so
-    one BatchingEngine saturates a whole slice (the engine's fixed
-    batch must divide the axis; same dp layout as produce_scores,
-    train/loop.py).
+    ``step(*args, wav_wire) -> log_probs``; ``args`` is ``(params,)``
+    for the detector family and ``(params, batch_stats)`` for SLS.
+    ``int8=None`` keeps the checkpoint's serving config; True/False
+    force it (scope stays the config's).
     """
-    import jax
-
     from sls_tpu.ckpt.checkpoint import CheckpointManager, load_checkpoint
     from sls_tpu.config import ExperimentConfig, config_from_dict
     from sls_tpu.train.steps import dequantize_wire
@@ -60,29 +55,6 @@ def load_serving_model(
     state = raw.get("state", raw)
     params = state["params"]
 
-    batch_stats = state.get("batch_stats", {})
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from sls_tpu.parallel.mesh import replicate
-
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        params = replicate(params, mesh)
-        batch_stats = replicate(batch_stats, mesh)
-
-        def jit_step(f, n_args):
-            # wav is the LAST positional arg of both step signatures
-            return jax.jit(
-                f, in_shardings=tuple([repl] * (n_args - 1) + [data]))
-    else:
-        def jit_step(f, n_args):
-            return jax.jit(f)
-
-    # params ride as jit ARGUMENTS, not closure captures: captured
-    # device arrays become compile-time constants, and constant-folding
-    # a 300M-param tree stalls XLA for minutes (same mechanism as the
-    # r4 sls_head_root_cause finding, BENCH_NOTES_r4)
     if "sls_head" in params:
         from sls_tpu.models.sls import SLSDetector
 
@@ -95,8 +67,7 @@ def load_serving_model(
             )
             return out["log_probs"]
 
-        step = jit_step(step, 3)
-        forward = lambda wav: step(params, batch_stats, wav)  # noqa: E731
+        args = (params, state.get("batch_stats", {}))
     else:
         from sls_tpu.models.detector import Detector
 
@@ -108,9 +79,52 @@ def load_serving_model(
             )
             return out["log_probs"]
 
-        step = jit_step(step, 2)
-        forward = lambda wav: step(params, wav)  # noqa: E731
+        args = (params,)
 
+    return cfg, step, args
+
+
+def load_serving_model(
+    run_dir: str,
+    checkpoint: Optional[str] = None,
+    int8: Optional[bool] = None,
+    mesh=None,
+):
+    """(cfg, forward) for a run dir; family detected from the param tree.
+
+    ``forward(wav_wire [B, cut]) -> log_probs [B, 2]`` (device array;
+    callers fetch).  ``int8=None`` keeps the checkpoint's serving
+    config; True/False force it (scope stays the config's).
+
+    ``mesh``: a 1-D 'data' jax.sharding.Mesh for multi-chip serving —
+    params replicate, every engine batch shards over the data axis, so
+    one BatchingEngine saturates a whole slice (the engine's fixed
+    batch must divide the axis; same dp layout as produce_scores,
+    train/loop.py).
+    """
+    import jax
+
+    cfg, step, args = load_serving_parts(run_dir, checkpoint, int8=int8)
+
+    # params ride as jit ARGUMENTS, not closure captures: captured
+    # device arrays become compile-time constants, and constant-folding
+    # a 300M-param tree stalls XLA for minutes (same mechanism as the
+    # r4 sls_head_root_cause finding, BENCH_NOTES_r4)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sls_tpu.parallel.mesh import replicate
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        args = tuple(replicate(a, mesh) for a in args)
+        # wav is the LAST positional arg of both step signatures
+        step = jax.jit(
+            step, in_shardings=tuple([repl] * len(args) + [data]))
+    else:
+        step = jax.jit(step)
+
+    forward = lambda wav: step(*args, wav)  # noqa: E731
     return cfg, forward
 
 
