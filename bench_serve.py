@@ -121,6 +121,9 @@ def main(argv=None) -> int:
                         "batch assembling while one is in flight)")
     p.add_argument("--rate", type=float, default=0.0,
                    help="open-loop arrival rate (utts/s); 0 = closed loop")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated smaller batch shapes for partial "
+                        "dispatch (engine bucket_sizes), e.g. '9,18'")
     p.add_argument("--duration", type=float, default=20.0)
     p.add_argument("--pool", type=int, default=64,
                    help="distinct synthetic utterances cycled as requests")
@@ -137,18 +140,27 @@ def main(argv=None) -> int:
         for _ in range(args.pool)
     ]
 
+    buckets = (tuple(int(b) for b in args.buckets.split(","))
+               if args.buckets else None)
     engine = BatchingEngine(
         forward, args.batch, cut=64600,
         max_wait_ms=args.max_wait_ms, wire_dtype=args.wire,
+        bucket_sizes=buckets,
     ).start()
     try:
         # warmup: one full batch through the engine (compile already
-        # cached by init; this warms the engine + wire path)
+        # cached by init; this warms the engine + wire path), plus one
+        # compile per bucket shape
         t0 = time.monotonic()
         warm = [engine.submit(pool[i % len(pool)])
                 for i in range(args.batch)]
         for f in warm:
             f.result(600)
+        from sls_tpu.data.pipeline import to_wire
+
+        for s in buckets or ():
+            np.asarray(forward(to_wire(
+                np.zeros((s, 64600), np.float32), args.wire)))
         print(f"# warmup {time.monotonic() - t0:.1f}s "
               f"({engine.stats().batches} batches)",
               file=sys.stderr, flush=True)
@@ -172,6 +184,7 @@ def main(argv=None) -> int:
             "config": {
                 "batch": args.batch, "max_wait_ms": args.max_wait_ms,
                 "int8": args.int8, "wire": args.wire,
+                "buckets": buckets,
                 "mode": (f"open-loop @{args.rate}/s" if args.rate
                          else f"closed-loop x{args.clients}"),
             },

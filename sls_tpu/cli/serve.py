@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "layout sweet spot, bench.py)")
     p.add_argument("--max_wait_ms", type=float, default=8.0,
                    help="max time a non-full batch waits before dispatch")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated smaller batch shapes (e.g. "
+                        "'9,18' under --batch 36): partial batches "
+                        "dispatch on the smallest fitting shape, cutting "
+                        "low-traffic latency; each shape compiles once "
+                        "at startup (run-dir serving only)")
     p.add_argument("--wire", choices=("float32", "int16", "mulaw"),
                    default="float32",
                    help="host->device wire dtype (int16 halves the bytes, "
@@ -69,10 +75,16 @@ def main(argv=None) -> int:
     from sls_tpu.serve.engine import BatchingEngine
     from sls_tpu.serve.server import make_server
 
+    buckets = (tuple(int(b) for b in args.buckets.split(","))
+               if args.buckets else None)
     if args.from_export:
         if args.dp:
             print("ERROR: --dp needs a run dir (exported programs carry "
                   "their sharding; re-export on the target mesh instead)")
+            return 2
+        if buckets:
+            print("ERROR: --buckets needs a run dir (exported programs "
+                  "are fixed at one batch shape and cannot retrace)")
             return 2
         from sls_tpu.serve.export import build_scorer_from_export
 
@@ -94,12 +106,14 @@ def main(argv=None) -> int:
         cfg, forward, cut = build_scorer(
             args.run_dir, args.checkpoint, int8=args.int8,
             wire_dtype=args.wire, batch_size=args.batch, mesh=mesh,
+            bucket_sizes=buckets,
         )
         family = cfg.model.sae.variant if cfg.model.use_sae else "sls"
         batch, wire = args.batch, args.wire
     engine = BatchingEngine(
         forward, batch, cut=cut,
         max_wait_ms=args.max_wait_ms, wire_dtype=wire,
+        bucket_sizes=None if args.from_export else buckets,
     ).start()
     httpd = make_server(engine, args.host, args.port)
     print(

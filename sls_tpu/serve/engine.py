@@ -93,6 +93,15 @@ class BatchingEngine:
         before dispatching short.  0 dispatches whatever is queued.
     wire_dtype: "float32" or "int16" (halves host->device bytes;
         lossless for 16-bit sources — data/pipeline.to_wire).
+    bucket_sizes: optional smaller batch shapes (e.g. (9, 18) under
+        batch_size 36).  A partial batch dispatches on the smallest
+        shape that fits instead of padding all the way to batch_size,
+        cutting low-traffic latency at zero cost to full-batch
+        capacity.  Each shape is a separate XLA program: score_fn must
+        accept every listed shape (a jitted forward compiles each on
+        first use; scorer.build_scorer pre-warms them).  NOT for
+        exported artifacts — those are fixed at one shape and cannot
+        retrace (serve/export.py).
     """
 
     def __init__(
@@ -104,12 +113,19 @@ class BatchingEngine:
         max_wait_ms: float = 8.0,
         wire_dtype: str = "float32",
         queue_depth: int = 1024,
+        bucket_sizes: Optional[tuple] = None,
     ):
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        buckets = sorted(set(bucket_sizes or ()))
+        if buckets and not (1 <= buckets[0] and buckets[-1] < batch_size):
+            raise ValueError(
+                f"bucket_sizes must lie in [1, batch_size); got "
+                f"{bucket_sizes} with batch_size {batch_size}")
         to_wire(np.zeros(1, np.float32), wire_dtype)  # validate early
         self.score_fn = score_fn
         self.batch_size = batch_size
+        self.shapes = tuple(buckets) + (batch_size,)
         self.cut = cut
         self.max_wait_ms = max_wait_ms
         self.wire_dtype = wire_dtype
@@ -276,11 +292,14 @@ class BatchingEngine:
     def _dispatch(self, items: List[_Request]):
         rows = [r.wav for r in items]
         n_real = len(rows)
-        if n_real < self.batch_size:
+        # smallest compiled shape that fits (shapes is sorted; the last
+        # entry is batch_size, so one always fits)
+        shape = next(s for s in self.shapes if s >= n_real)
+        if n_real < shape:
             # static shapes: tile row 0 into the tail (same trick as
             # parallel/mesh.pad_batch_to_devices); tail rows never
             # resolve a future
-            rows = rows + [rows[0]] * (self.batch_size - n_real)
+            rows = rows + [rows[0]] * (shape - n_real)
         wav = to_wire(np.stack(rows), self.wire_dtype)
         out = self.score_fn(wav)  # device future under JAX async dispatch
         return items, out

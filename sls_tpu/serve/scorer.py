@@ -137,22 +137,30 @@ def build_scorer(
     batch_size: int = 36,
     warmup: bool = True,
     mesh=None,
+    bucket_sizes: Optional[tuple] = None,
 ) -> Tuple[object, Callable, int]:
     """(cfg, score_fn, cut) ready for BatchingEngine.
 
-    ``warmup`` runs one throwaway batch so the first real request pays
-    dispatch latency, not the 20-40 s XLA compile.  ``mesh``: dp-shard
-    every engine batch over a 'data' mesh (batch_size must divide the
-    axis; see load_serving_model).
+    ``warmup`` runs one throwaway batch PER SHAPE so the first real
+    request pays dispatch latency, not the 20-40 s XLA compile.
+    ``mesh``: dp-shard every engine batch over a 'data' mesh
+    (batch_size must divide the axis; see load_serving_model).
+    ``bucket_sizes``: extra smaller batch shapes the engine may
+    dispatch (BatchingEngine bucket_sizes) — each is its own compile.
     """
-    if mesh is not None and batch_size % mesh.shape["data"]:
-        raise ValueError(
-            f"batch_size {batch_size} must be divisible by the mesh's "
-            f"data axis ({mesh.shape['data']}) for dp serving")
+    shapes = tuple(sorted(set(bucket_sizes or ()))) + (batch_size,)
+    if mesh is not None:
+        for s in shapes:
+            if s % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch shape {s} must be divisible by the mesh's "
+                    f"data axis ({mesh.shape['data']}) for dp serving")
     cfg, forward = load_serving_model(run_dir, checkpoint, int8=int8,
                                       mesh=mesh)
     cut = cfg.train.cut_length
     if warmup:
-        dtype = jnp.int16 if wire_dtype == "int16" else jnp.float32
-        np.asarray(forward(jnp.zeros((batch_size, cut), dtype)))
+        dtype = {"int16": jnp.int16, "mulaw": jnp.uint8}.get(
+            wire_dtype, jnp.float32)
+        for s in shapes:
+            np.asarray(forward(jnp.zeros((s, cut), dtype)))
     return cfg, forward, cut

@@ -174,6 +174,38 @@ class TestEngine:
         assert seen["dtype"] == np.int16
         assert s == pytest.approx(expected_score(0.05), abs=1e-3)
 
+    def test_bucket_dispatch_uses_smallest_fitting_shape(self):
+        """With bucket_sizes, a partial batch dispatches on the
+        smallest compiled shape that fits, and scores stay aligned."""
+        shapes = []
+
+        def capture(wav):
+            shapes.append(np.asarray(wav).shape[0])
+            return stub_score_fn(wav)
+
+        with BatchingEngine(capture, 16, cut=CUT, max_wait_ms=40,
+                            bucket_sizes=(4, 8)) as eng:
+            # 1 request -> shape 4
+            s1 = eng.score(np.full(CUT, 0.03, np.float32))
+            # 6 concurrent -> shape 8 (one batch: submitted before the
+            # worker's max_wait window closes)
+            futs = [eng.submit(np.full(CUT, v, np.float32))
+                    for v in np.linspace(-0.05, 0.05, 6)]
+            got = [f.result(30) for f in futs]
+        assert s1 == pytest.approx(expected_score(0.03), abs=1e-9)
+        for v, s in zip(np.linspace(-0.05, 0.05, 6), got):
+            assert s == pytest.approx(expected_score(v), abs=1e-9)
+        assert shapes[0] == 4
+        # the 6 requests may split across batches depending on thread
+        # timing, but every dispatch uses one of the compiled shapes
+        assert all(s in (4, 8, 16) for s in shapes)
+
+    def test_bucket_validation(self):
+        with pytest.raises(ValueError, match="bucket_sizes"):
+            BatchingEngine(stub_score_fn, 8, cut=CUT, bucket_sizes=(8,))
+        with pytest.raises(ValueError, match="bucket_sizes"):
+            BatchingEngine(stub_score_fn, 8, cut=CUT, bucket_sizes=(0, 4))
+
     def test_bad_wire_dtype_rejected_early(self):
         with pytest.raises(ValueError, match="wire_dtype"):
             BatchingEngine(stub_score_fn, 2, cut=CUT, wire_dtype="int4")
