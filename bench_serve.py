@@ -115,7 +115,10 @@ def main(argv=None) -> int:
     p.add_argument("--max_wait_ms", type=float, default=8.0)
     p.add_argument("--int8", action="store_true",
                    help="int8-ffn serving GEMMs (the serving config)")
-    p.add_argument("--wire", choices=("float32", "int16"), default="int16")
+    p.add_argument("--wire", choices=("float32", "int16", "mulaw"),
+                   default="int16",
+                   help="mulaw = 1 byte/sample (lossy, data/mulaw.py) for "
+                        "wire-bandwidth-bound links like the bench relay")
     p.add_argument("--clients", type=int, default=72,
                    help="closed-loop concurrency (2x batch keeps one "
                         "batch assembling while one is in flight)")

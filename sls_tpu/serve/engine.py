@@ -91,8 +91,10 @@ class BatchingEngine:
         measured flagship sweet spot, bench.py).
     max_wait_ms: how long a non-full batch waits for more requests
         before dispatching short.  0 dispatches whatever is queued.
-    wire_dtype: "float32" or "int16" (halves host->device bytes;
-        lossless for 16-bit sources — data/pipeline.to_wire).
+    wire_dtype: "float32", "int16" (halves host->device bytes;
+        lossless for 16-bit sources), or "mulaw" (1 byte/sample,
+        LOSSY companding — data/pipeline.to_wire) for
+        wire-bandwidth-bound deployments.
     bucket_sizes: optional smaller batch shapes (e.g. (9, 18) under
         batch_size 36).  A partial batch dispatches on the smallest
         shape that fits instead of padding all the way to batch_size,

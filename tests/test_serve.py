@@ -131,6 +131,35 @@ class TestEngine:
         assert st.mean_fill > 0.5
         assert st.p50_ms >= 0.0 and st.p99_ms >= st.p50_ms
 
+    def test_open_loop_paced_arrivals_all_resolve(self):
+        """bench_serve's open-loop pattern (submissions paced at a fixed
+        rate, futures gathered after the arrival window): every request
+        must resolve with ITS row's score even while the batcher keeps
+        one batch in flight.  Regression for the paced-arrival path —
+        it exercises the have_pending/idle-flush branches of _run in a
+        way the burst tests above never do."""
+        B, n, rate = 8, 120, 400.0
+
+        def slow(wav):
+            time.sleep(0.005)  # emulate device time so batches pipeline
+            return stub_score_fn(wav)
+
+        values = np.linspace(-0.1, 0.1, n)
+        with BatchingEngine(slow, B, cut=CUT, max_wait_ms=4) as eng:
+            futs = []
+            t0 = time.monotonic()
+            for i, v in enumerate(values):
+                delay = (t0 + i / rate) - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                futs.append(eng.submit(np.full(CUT, v, np.float32)))
+            got = [f.result(30) for f in futs]
+        for v, s in zip(values, got):
+            assert s == pytest.approx(expected_score(v), abs=1e-9), v
+        st = eng.stats()
+        assert st.requests == n and st.batches >= n // B
+        assert st.mean_fill > 0.2  # paced arrivals still pack batches
+
     def test_score_long_matches_offline_window_contract(self):
         """score_long must aggregate exactly the windows the offline
         full-utterance path extracts (stride cut//2, right-aligned
