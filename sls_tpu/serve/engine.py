@@ -195,6 +195,14 @@ class BatchingEngine:
         return wav
 
     def _submit_row(self, row: np.ndarray) -> Future:
+        # fail loudly instead of enqueueing into a worker-less engine,
+        # where the future would never resolve and the caller would
+        # block until its own timeout (best-effort: a submit racing
+        # stop() can still be failed by stop's drain sweep instead)
+        if self._worker is None or self._stop.is_set():
+            raise RuntimeError(
+                "engine is not running (start() it, and submit before "
+                "stop())")
         fut: Future = Future()
         req = _Request(wav=np.asarray(row, np.float32), future=fut,
                        t_submit=time.monotonic())

@@ -115,6 +115,18 @@ class TestEngine:
         # every future resolved one way or the other
         assert len(results) == 6
 
+    def test_submit_requires_running_engine(self):
+        """submit() on an unstarted or stopped engine raises instead of
+        enqueueing a future that can never resolve."""
+        eng = BatchingEngine(stub_score_fn, 4, cut=CUT)
+        with pytest.raises(RuntimeError, match="not running"):
+            eng.submit(np.ones(CUT, np.float32))
+        eng.start()
+        assert eng.score(np.ones(CUT, np.float32)) > 0
+        eng.stop()
+        with pytest.raises(RuntimeError, match="not running"):
+            eng.submit(np.ones(CUT, np.float32))
+
     def test_throughput_batches_under_load(self):
         """Under a burst, the engine packs near-full batches (the
         reason it exists): mean fill well above single-request."""
