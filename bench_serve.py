@@ -167,6 +167,9 @@ def main(argv=None) -> int:
         print(f"# warmup {time.monotonic() - t0:.1f}s "
               f"({engine.stats().batches} batches)",
               file=sys.stderr, flush=True)
+        # warmup requests carry compile-time latencies (observed 149.8 s
+        # at p95 in the open-loop record); measure from a clean slate
+        engine.reset_stats()
 
         if args.rate > 0:
             st, thr = run_open_loop(engine, pool, args.rate, args.duration)

@@ -248,6 +248,16 @@ class BatchingEngine:
 
     # -- stats -------------------------------------------------------------
 
+    def reset_stats(self) -> None:
+        """Zero the counters and latency record (e.g. after a warmup
+        pass whose compile-time latencies would poison percentiles —
+        bench_serve measured a 149.8 s warmup request landing in p95)."""
+        with self._lock:
+            self._requests = 0
+            self._batches = 0
+            self._fill_sum = 0.0
+            self._latencies.clear()
+
     def stats(self) -> EngineStats:
         with self._lock:
             lats = np.asarray(self._latencies, np.float64)
