@@ -145,6 +145,10 @@ class BatchingEngine:
     def start(self) -> "BatchingEngine":
         if self._worker is not None:
             raise RuntimeError("engine already started")
+        # a stop()ed engine can be start()ed again: clear the stop flag
+        # so the new worker doesn't exit immediately (stop() leaves it
+        # set to fail in-flight submits)
+        self._stop.clear()
         self._worker = threading.Thread(
             target=self._run, name="sls-serve-batcher", daemon=True
         )
@@ -156,13 +160,22 @@ class BatchingEngine:
         if self._worker is not None:
             self._worker.join(timeout)
             self._worker = None
-        # fail any stragglers loudly instead of hanging their callers
+        # Fail any stragglers loudly instead of hanging their callers.
+        # Taking _lock first closes the submit race: _submit_row holds
+        # _lock across its stop-check + put, so once we hold it every
+        # submit that passed the check has already landed in the queue
+        # (and later submits see _stop set and raise).
+        with self._lock:
+            pass
         while True:
             try:
                 req = self._q.get_nowait()
             except queue.Empty:
                 break
-            req.future.set_exception(RuntimeError("engine stopped"))
+            try:
+                req.future.set_exception(RuntimeError("engine stopped"))
+            except Exception:
+                pass  # already failed by the submit-side overload path
 
     def __enter__(self) -> "BatchingEngine":
         return self.start()
@@ -195,20 +208,40 @@ class BatchingEngine:
         return wav
 
     def _submit_row(self, row: np.ndarray) -> Future:
-        # fail loudly instead of enqueueing into a worker-less engine,
+        # Fail loudly instead of enqueueing into a worker-less engine,
         # where the future would never resolve and the caller would
-        # block until its own timeout (best-effort: a submit racing
-        # stop() can still be failed by stop's drain sweep instead)
-        if self._worker is None or self._stop.is_set():
-            raise RuntimeError(
-                "engine is not running (start() it, and submit before "
-                "stop())")
+        # block until its own timeout.  The stop-check and the put sit
+        # under _lock, and stop() acquires _lock before its drain sweep
+        # — so a submit either sees _stop set (raises here) or its put
+        # lands before the drain (its future is failed by stop()).
         fut: Future = Future()
         req = _Request(wav=np.asarray(row, np.float32), future=fut,
                        t_submit=time.monotonic())
+        with self._lock:
+            if self._worker is None or self._stop.is_set():
+                raise RuntimeError(
+                    "engine is not running (start() it, and submit "
+                    "before stop(); a stopped engine can be start()ed "
+                    "again)")
+            try:
+                self._q.put_nowait(req)
+                self._requests += 1
+                return fut
+            except queue.Full:
+                pass
+        # Queue full (overload): block for backpressure OUTSIDE the lock
+        # (a blocking put under _lock would deadlock against the worker's
+        # _flush, which takes _lock to record stats).  This reopens a
+        # narrow stop() race, so re-check after the put and fail our own
+        # future if stop's drain sweep may have already passed it by.
         self._q.put(req)
         with self._lock:
             self._requests += 1
+        if self._stop.is_set():
+            try:
+                fut.set_exception(RuntimeError("engine stopped"))
+            except Exception:
+                pass  # already resolved by the worker or stop's drain
         return fut
 
     def submit_windows(self, wav: np.ndarray, sample_rate: int = 16000,

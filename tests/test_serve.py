@@ -127,6 +127,52 @@ class TestEngine:
         with pytest.raises(RuntimeError, match="not running"):
             eng.submit(np.ones(CUT, np.float32))
 
+    def test_restart_after_stop(self):
+        """A stop()ed engine can be start()ed again (the submit error
+        message says so): start() clears the stop flag, so the new
+        worker serves instead of exiting immediately."""
+        eng = BatchingEngine(stub_score_fn, 4, cut=CUT, max_wait_ms=1)
+        eng.start()
+        assert eng.score(np.full(CUT, 0.05, np.float32)) == pytest.approx(
+            expected_score(0.05), abs=1e-9)
+        eng.stop()
+        eng.start()
+        try:
+            assert eng.score(np.full(CUT, 0.07, np.float32)) == \
+                pytest.approx(expected_score(0.07), abs=1e-9)
+        finally:
+            eng.stop()
+
+    def test_overload_backpressure_resolves(self):
+        """With a tiny queue_depth, submits past the queue block for
+        backpressure (never deadlock against the worker's stats lock)
+        and every future still resolves."""
+        release = threading.Event()
+
+        def slow(wav):
+            release.wait(5)
+            return stub_score_fn(wav)
+
+        eng = BatchingEngine(slow, 1, cut=CUT, max_wait_ms=0,
+                             queue_depth=2).start()
+        futs = []
+
+        def feed():
+            for _ in range(8):
+                futs.append(eng.submit(np.full(CUT, 0.05, np.float32)))
+
+        t = threading.Thread(target=feed)
+        t.start()
+        time.sleep(0.2)  # let the feeder hit the full queue and block
+        release.set()
+        t.join(10)
+        assert not t.is_alive(), "submit deadlocked on a full queue"
+        got = [f.result(10) for f in futs]
+        assert len(got) == 8
+        assert all(s == pytest.approx(expected_score(0.05), abs=1e-9)
+                   for s in got)
+        eng.stop()
+
     def test_throughput_batches_under_load(self):
         """Under a burst, the engine packs near-full batches (the
         reason it exists): mean fill well above single-request."""
