@@ -111,13 +111,20 @@ def flops_per_utterance(cfg, wav_len: int = 64600) -> float:
     return total
 
 
-def build_flagship(pallas: bool = True, int8_ffn: bool = False):
+def build_flagship(pallas: bool = True, int8_ffn: bool = False,
+                   variant: str = "per_timestep"):
     """(model, cfg) for the flagship detector — shared with bench_e2e.
 
     ``int8_ffn``: the recommended SERVING configuration — dynamic int8
     on the FFN GEMMs only (measured 1.14x over bf16 end-to-end; scores
     within the quantization envelope documented in BENCH_NOTES_r3).
     Training and golden-parity paths never use it.
+
+    ``variant`` selects the SAE sparsity rule (config.SAEConfig):
+    per_timestep (flagship), window_overlap (reference
+    model_window_topk.py:118-203), window_hard (model_cpc.py:118-164).
+    Same encoder + head; only the sparsify stage differs, so the
+    analytic FLOP count (encoder-dominated) is shared across variants.
     """
     import jax.numpy as jnp
 
@@ -130,7 +137,7 @@ def build_flagship(pallas: bool = True, int8_ffn: bool = False):
         use_sae=True,
         use_sparse_features=True,
         sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
-                      use_pallas=pallas),
+                      use_pallas=pallas, variant=variant),
     )
     return Detector(cfg), cfg
 
@@ -190,6 +197,15 @@ def main(argv=None) -> int:
                         help="serve with dynamic int8 on the FFN GEMMs "
                         "(~970 utts/s vs ~860 pure bf16; changes the "
                         "metric label, not the tracked headline)")
+    # Family matrix support (VERDICT r4 #1): the tracked headline stays
+    # the per-timestep flagship; the window variants get their own
+    # labeled series so regressions in model_window_topk/model_cpc
+    # equivalents are visible every round, not just r1.
+    parser.add_argument("--variant", default="per_timestep",
+                        choices=["per_timestep", "window_overlap",
+                                 "window_hard"],
+                        help="SAE sparsity rule (non-default changes the "
+                        "metric label, not the tracked headline)")
     # bounded backend probe BEFORE touching jax in-process: the relayed
     # TPU backend can hang indefinitely at init when the relay is down
     # (observed: >28 min, then UNAVAILABLE), and a bench that never
@@ -230,7 +246,8 @@ def main(argv=None) -> int:
 
     import jax
 
-    model, cfg = build_flagship(args.pallas, int8_ffn=args.int8)
+    model, cfg = build_flagship(args.pallas, int8_ffn=args.int8,
+                                variant=args.variant)
     forward, params, wav = init_flagship(model, args.batch)
 
     t0 = time.time()
@@ -267,12 +284,16 @@ def main(argv=None) -> int:
     gflop_utt = flops_per_utterance(cfg) / 1e9
     tflops = utts_per_sec * gflop_utt / 1e3
     print(f"# analytic {gflop_utt:.1f} GFLOP/utt", file=sys.stderr)
+    metric = ("4s-utterances/sec/chip (XLS-R-300M eval, int8-ffn)"
+              if args.int8
+              else "4s-utterances/sec/chip (XLS-R-300M eval)")
+    if args.variant != "per_timestep":
+        metric = metric.replace(" eval", f" eval, {args.variant}")
     out = {
-        # metric name changes under --int8 so the bf16 series is never
-        # silently mixed with a different precision
-        "metric": ("4s-utterances/sec/chip (XLS-R-300M eval, int8-ffn)"
-                   if args.int8
-                   else "4s-utterances/sec/chip (XLS-R-300M eval)"),
+        # metric name changes under --int8/--variant so the bf16
+        # per-timestep series is never silently mixed with another
+        # precision or sparsity rule
+        "metric": metric,
         "value": round(utts_per_sec, 2),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utts_per_sec / BASELINE_UTTS_PER_SEC, 2),
@@ -280,6 +301,7 @@ def main(argv=None) -> int:
         "gflop_per_utt": round(gflop_utt, 1),
         "precision": ("bf16 + dynamic-int8 FFN (serving config)"
                       if args.int8 else "bf16 (fp32 islands)"),
+        "variant": args.variant,
     }
     if args.int8:
         # FFN GEMMs run int8 while the analytic FLOP count and peak are

@@ -32,8 +32,9 @@ import numpy as np
 
 
 def build_serving_forward(batch: int, int8: bool, wav_len: int = 64600):
-    """Jitted (wav [B,cut]) -> log_probs [B,2] on flagship topology with
-    random params (serving-path shape/speed is param-value independent)."""
+    """(score_fn, step, params): jitted (wav [B,cut]) -> log_probs [B,2]
+    on flagship topology with random params (serving-path shape/speed is
+    param-value independent)."""
     import jax
 
     from bench import build_flagship, init_flagship
@@ -54,7 +55,7 @@ def build_serving_forward(batch: int, int8: bool, wav_len: int = 64600):
         )
         return out["log_probs"]
 
-    return lambda wav: step(params, wav)
+    return (lambda wav: step(params, wav)), step, params
 
 
 def run_closed_loop(engine, pool, n_clients: int, duration_s: float):
@@ -130,18 +131,46 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=20.0)
     p.add_argument("--pool", type=int, default=64,
                    help="distinct synthetic utterances cycled as requests")
+    p.add_argument("--zero_wire", action="store_true",
+                   help="engine-overhead isolation (VERDICT r4 #6): "
+                   "score_fn ignores the assembled batch and scores a "
+                   "pre-staged DEVICE-RESIDENT array, so the host->"
+                   "device wire term vanishes while every engine cost "
+                   "(queueing, assembly, row stacking, to_wire, future "
+                   "resolution, stats) stays. Reports engine_overhead_"
+                   "ms_per_batch vs a same-session raw pipelined "
+                   "control of the identical program")
     args = p.parse_args(argv)
+
+    import jax
 
     from sls_tpu.serve.engine import BatchingEngine
 
     print(f"# building flagship (batch={args.batch}, int8={args.int8})",
           file=sys.stderr, flush=True)
-    forward = build_serving_forward(args.batch, args.int8)
+    forward, step, params = build_serving_forward(args.batch, args.int8)
     rng = np.random.default_rng(0)
     pool = [
         rng.normal(0, 0.1, size=64600).astype(np.float32)
         for _ in range(args.pool)
     ]
+
+    raw_ms_per_batch = None
+    if args.zero_wire:
+        from bench import time_pipelined
+
+        from sls_tpu.data.pipeline import to_wire
+
+        staged = jax.device_put(to_wire(
+            np.stack(pool[:args.batch]), args.wire))
+        # same-session raw control: the exact program the engine will
+        # dispatch, timed pipelined with zero engine machinery
+        raw_s = time_pipelined(step, params, staged, iters=16, warmup=3)
+        raw_ms_per_batch = raw_s * 1e3
+        print(f"# raw control: {raw_ms_per_batch:.1f} ms/batch "
+              f"({args.batch / raw_s:.1f} utts/s)",
+              file=sys.stderr, flush=True)
+        forward = lambda wav: step(params, staged)  # noqa: E731
 
     buckets = (tuple(int(b) for b in args.buckets.split(","))
                if args.buckets else None)
@@ -180,8 +209,10 @@ def main(argv=None) -> int:
             p50, p95, p99 = np.percentile(lats, [50, 95, 99])
             lat = {"p50": float(p50), "p95": float(p95), "p99": float(p99)}
         st = engine.stats()
-        print(json.dumps({
-            "metric": "serving-throughput (flagship, dynamic batching)",
+        out = {
+            "metric": ("serving-throughput (flagship, engine zero-wire)"
+                       if args.zero_wire else
+                       "serving-throughput (flagship, dynamic batching)"),
             "value": round(thr, 1),
             "unit": "utterances/sec/chip",
             "latency_ms": {k: round(v, 1) for k, v in lat.items()},
@@ -193,8 +224,21 @@ def main(argv=None) -> int:
                 "buckets": buckets,
                 "mode": (f"open-loop @{args.rate}/s" if args.rate
                          else f"closed-loop x{args.clients}"),
+                "zero_wire": args.zero_wire,
             },
-        }))
+        }
+        if raw_ms_per_batch is not None and st.batches:
+            # engine-added cost per dispatched batch: measured engine
+            # ms/batch minus the same-session raw pipelined control
+            # wall time per dispatched batch (robust to partial fills):
+            # elapsed = requests/thr, divided over the batches dispatched
+            eng_ms = ((st.requests / thr) / st.batches * 1e3
+                      if thr else 0.0)
+            out["raw_ms_per_batch"] = round(raw_ms_per_batch, 2)
+            out["engine_ms_per_batch"] = round(eng_ms, 2)
+            out["engine_overhead_ms_per_batch"] = round(
+                eng_ms - raw_ms_per_batch, 2)
+        print(json.dumps(out))
     finally:
         engine.stop()
     return 0

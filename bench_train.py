@@ -18,7 +18,8 @@ import time
 
 
 def run_config(batch: int, remat: bool, iters: int = 8,
-               pallas_sae: bool = False, freeze: bool = False) -> float:
+               pallas_sae: bool = False, freeze: bool = False,
+               use_cpc: bool = False, variant: str = "per_timestep") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,8 +36,9 @@ def run_config(batch: int, remat: bool, iters: int = 8,
             use_sae=True,
             use_sparse_features=True,
             freeze_encoder=freeze,
+            use_cpc=use_cpc,
             sae=SAEConfig(activation_dim=1024, dict_size=4096, k=128,
-                          use_pallas=pallas_sae),
+                          use_pallas=pallas_sae, variant=variant),
         ),
         train=TrainConfig(batch_size=batch, lr=1e-6),
     )
@@ -72,6 +74,16 @@ def main(argv=None) -> int:
                         help="freeze the SSL encoder (the reference's "
                         "ModelSAE frozen-SSL training mode; the masked "
                         "optimizer keeps no Adam state for it)")
+    parser.add_argument("--use_cpc", action="store_true",
+                        help="add the CPC InfoNCE objective (reference "
+                        "train_cpc.py / model_cpc.py:473-528: the MxM "
+                        "global-batch contraction SURVEY §7 flags) — "
+                        "first train-side perf series for the CPC "
+                        "variant (VERDICT r4 missing #2)")
+    parser.add_argument("--variant", default="per_timestep",
+                        choices=["per_timestep", "window_overlap",
+                                 "window_hard"],
+                        help="SAE sparsity rule for the family matrix")
     args = parser.parse_args(argv)
 
     import jax
@@ -85,17 +97,24 @@ def main(argv=None) -> int:
     for batch in args.batches:
         try:
             ups = run_config(batch, args.remat, args.iters, args.pallas,
-                             args.freeze)
+                             args.freeze, args.use_cpc, args.variant)
+            metric = ("train-utts/sec/chip (XLS-R-300M frozen-SSL SAE)"
+                      if args.freeze else
+                      "train-utts/sec/chip (XLS-R-300M fine-tune)")
+            if args.use_cpc:
+                metric = metric[:-1] + ", +CPC)"
+            if args.variant != "per_timestep":
+                metric = metric[:-1] + f", {args.variant})"
             print(json.dumps({
-                "metric": ("train-utts/sec/chip (XLS-R-300M frozen-SSL SAE)"
-                           if args.freeze else
-                           "train-utts/sec/chip (XLS-R-300M fine-tune)"),
+                "metric": metric,
                 "value": round(ups, 2),
                 "unit": "utterances/sec/chip",
                 "batch": batch,
                 "remat": args.remat,
                 "pallas_sae": args.pallas,
                 "freeze": args.freeze,
+                "use_cpc": args.use_cpc,
+                "variant": args.variant,
             }), flush=True)
         except Exception as exc:  # OOM etc: record and continue
             print(json.dumps({

