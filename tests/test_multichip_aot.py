@@ -206,3 +206,28 @@ def test_dp8_sls_compiles_with_grad_allreduce():
     assert "all-reduce" in found, (
         f"SLS dp8 grad sync must compile to an all-reduce; found {found}"
     )
+
+
+def test_real_width_proxy_executes():
+    """Phase 5 of the driver dryrun (VERDICT r4 #5), suite-pinned: one
+    EXECUTED train step at real widths — 4 x 1024/4096 layers, real
+    conv stack, SAE dict 4096 k 128, wav 64600 — on the dp4xtp2 mesh.
+    The AOT tests above prove the real-DEPTH program compiles; this
+    proves real-WIDTH sharded execution (layouts, collective runtime,
+    memory) on the 8-device mesh.  ~3 min on the 1-core image (slow
+    tier); the driver runs the same phase every round via
+    __graft_entry__.dryrun_multichip."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    # subprocess: dryrun self-provisions its backend, and the suite's
+    # conftest has already initialized this process's backend
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "real-width dp4xtp2" in proc.stdout, proc.stdout
