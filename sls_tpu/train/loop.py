@@ -95,6 +95,55 @@ class EpochMetrics:
     eer: float = 50.0
 
 
+_FOLD_KEYS = ("loss", "cls_loss", "sae_loss", "cpc_loss", "correct",
+              "finite")
+
+# max train/eval steps in flight before a bounding sync (see
+# train_epoch): deep enough that host prep and device compute fully
+# overlap, shallow enough that the pinned input buffers stay ~100s of
+# MB at production batch sizes
+_PIPELINE_DEPTH = 8
+
+
+def _local_scalars(metrics) -> dict:
+    """This process's device-resident replica of each scalar metric.
+
+    ``addressable_data(0)`` is a zero-copy view of the local shard (the
+    scalars are replicated over the mesh) — NO host transfer — and it
+    detaches the value from the global mesh so `_fold_metrics` runs as
+    a plain single-device program on every process (mixing global-mesh
+    arrays with process-local ones in one jit is invalid multi-host).
+    Families that don't emit a loss component contribute 0.0."""
+    out = {}
+    for k in _FOLD_KEYS:
+        v = metrics.get(k, 0.0)
+        if hasattr(v, "addressable_data"):
+            v = v.addressable_data(0)
+        out[k] = v
+    return out
+
+
+@jax.jit
+def _fold_metrics(acc, m, bsz):
+    """One async device dispatch per train step: fold a step's scalar
+    metrics into the epoch accumulator, masked by the step's finite
+    flag (matching the old host-side `continue` semantics).  Cached at
+    module scope so epochs don't recompile it."""
+    ok = m["finite"].astype(jnp.float32)
+    w = ok * bsz
+    return {
+        "loss": acc["loss"] + m["loss"] * w,
+        "cls": acc["cls"] + m["cls_loss"] * w,
+        "sae": acc["sae"] + m["sae_loss"] * w,
+        "cpc": acc["cpc"] + m["cpc_loss"] * w,
+        # correct is already the GLOBAL count (psum'd inside the train
+        # step on every host) — folded as-is, NOT allreduced at the end
+        "correct": acc["correct"] + m["correct"] * ok,
+        "n": acc["n"] + w,
+        "nonfinite": acc["nonfinite"] + (1.0 - ok),
+    }
+
+
 def _gathered_eer(scores_all: List[np.ndarray],
                   labels_all: List[np.ndarray]) -> float:
     """EER over per-host accumulated score/label rows: one ragged
@@ -288,12 +337,37 @@ class BaseTrainer:
     # -- epochs ----------------------------------------------------------------
 
     def train_epoch(self, loader, epoch: int) -> EpochMetrics:
+        """One epoch of the hot loop — with NO per-step host sync.
+
+        The r5 e2e ingest bench (bench_e2e_train.py) caught the
+        original loop fetching ``finite`` + four loss floats + scores
+        from the device EVERY step, serializing host-side prep (decode
+        fetch, pad, upload, RawBoost dispatch) against device compute:
+        81.5 utts/s end-to-end against 212.5 device-only at b64.  Now
+        every per-step metric stays ON DEVICE — scalars fold into a
+        device-resident accumulator through a tiny jitted add (one
+        dispatch, no fetch), score rows and finite flags accumulate as
+        device arrays — and the single host fetch happens at epoch end.
+        The non-finite state rejection is compiled INTO the train step
+        (steps.py: the whole state transition is where'd on finite), so
+        deferring the WARNING costs nothing in correctness; warnings
+        print at epoch end with batch indices.
+        """
         assert self.state is not None
         aug_cfg = self.cfg.train.rawboost
-        n_seen = 0
-        sums = {"loss": 0.0, "cls": 0.0, "sae": 0.0, "cpc": 0.0, "correct": 0.0}
-        scores_all: List[np.ndarray] = []
-        labels_all: List[np.ndarray] = []
+        # device-resident epoch accumulator (this PROCESS's partial
+        # sums, matching the old host-side Python sums — cross-host
+        # reduction stays in _combine_epoch).  fp32 epoch sums at
+        # < 1e5 steps lose < 1e-3 relative — logging, not optimizer
+        # state (TPUs run x64-disabled).
+        accum = {k: jnp.zeros((), jnp.float32)
+                 for k in ("loss", "cls", "sae", "cpc", "correct",
+                           "n", "nonfinite")}
+
+        # per-step device arrays, fetched once after the loop
+        step_scores: List = []   # [B] score rows (device)
+        step_finite: List = []   # [] bool (device)
+        step_meta: List = []     # (labels_np, valid, b_idx) host-side
 
         profiling = False
         for b_idx, batch in enumerate(loader.epoch(epoch)):
@@ -328,38 +402,23 @@ class BaseTrainer:
             self.state, metrics = self.train_step(
                 self.state, wav, labels, valid_dev, self.rng
             )
-            if not bool(metrics["finite"]):
-                # The jitted step already rejected the whole state
-                # transition (params/moments/batch_stats kept); the batch
-                # contributes nothing to epoch averages either.
-                self._nonfinite_batches += 1
-                print(f"WARNING: non-finite loss at batch {b_idx} "
-                      f"(epoch {epoch}); update rejected", flush=True)
-                # the profiler stop below must still run — a diverged
-                # run would otherwise keep tracing to epoch end
-                if profiling and b_idx >= self.profile_steps:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    self._profiled = True
-                continue
-            # Per-batch accumulation touches only LOCAL data — scores
-            # come back via local_rows (this host's shard of the
-            # data-sharded output), labels/valid are host arrays, and
-            # the loss scalars are replicated.  The single cross-host
-            # gather happens once at epoch end, so the multi-host train
-            # loop never blocks on a host-level collective per step.
-            bsz = int(valid.sum())
-            n_seen += bsz
-            sums["loss"] += float(metrics["loss"]) * bsz
-            sums["cls"] += float(metrics.get("cls_loss", 0.0)) * bsz
-            sums["sae"] += float(metrics.get("sae_loss", 0.0)) * bsz
-            sums["cpc"] += float(metrics.get("cpc_loss", 0.0)) * bsz
-            # correct is already the GLOBAL count (psum'd inside jit on
-            # every host) — accumulated as-is, NOT allreduced at the end
-            sums["correct"] += float(metrics["correct"])
-            s = local_rows(metrics["scores"])[valid]
-            scores_all.append(s)
-            labels_all.append(labels_np[valid])
+            # NO host fetch here: fold scalars into the device
+            # accumulator (one async dispatch) and keep score rows /
+            # finite flags as device arrays for the epoch-end fetch.
+            accum = _fold_metrics(accum, _local_scalars(metrics),
+                                  float(valid.sum()))
+            step_scores.append(metrics["scores"])
+            step_finite.append(metrics["finite"])
+            step_meta.append((labels_np, valid, b_idx))
+            # BOUNDED pipelining: unbounded async dispatch would pin
+            # every queued step's wav upload buffer in HBM (b64 fp32 =
+            # 16.5 MB/step -> GBs over a long epoch).  A tiny scalar
+            # fetch PIPELINE_DEPTH steps behind bounds in-flight work
+            # (device execution is in-order) at ~one small round-trip
+            # per DEPTH steps — amortized noise, even on the relay.
+            if (b_idx >= _PIPELINE_DEPTH
+                    and b_idx % _PIPELINE_DEPTH == 0):
+                jax.device_get(step_finite[b_idx - _PIPELINE_DEPTH])
             if profiling and b_idx >= self.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -368,9 +427,36 @@ class BaseTrainer:
         if profiling:
             jax.profiler.stop_trace()
             self._profiled = True
+
+        # the epoch's single device->host sync: accumulator + finite
+        # flags in one fetch, then only the LOCAL rows of each score
+        # array (local_rows — this host's shard, no cross-host traffic)
+        acc, finite_flags = jax.device_get((accum, step_finite))
+        scores_all: List[np.ndarray] = []
+        labels_all: List[np.ndarray] = []
+        for ok, scores, (labels_np, valid, b_idx) in zip(
+            finite_flags, step_scores, step_meta
+        ):
+            if not bool(ok):
+                # the jitted step already rejected the state transition
+                # (params/moments/batch_stats kept); the batch also
+                # contributes nothing to epoch averages (fold masked it)
+                self._nonfinite_batches += 1
+                print(f"WARNING: non-finite loss at batch {b_idx} "
+                      f"(epoch {epoch}); update was rejected in-step",
+                      flush=True)
+                continue
+            s = local_rows(scores)[valid]
+            scores_all.append(s)
+            labels_all.append(labels_np[valid])
+
+        sums = {"loss": float(acc["loss"]), "cls": float(acc["cls"]),
+                "sae": float(acc["sae"]), "cpc": float(acc["cpc"]),
+                "correct": float(acc["correct"])}
         # one cross-host reduction per epoch: weighted loss sums plus a
         # ragged gather of the per-host score/label rows
-        return self._combine_epoch(sums, n_seen, scores_all, labels_all)
+        return self._combine_epoch(sums, int(acc["n"]), scores_all,
+                                   labels_all)
 
     def _combine_epoch(self, sums, n_seen, scores_all, labels_all):
         loss_s, cls_s, sae_s, cpc_s, n_g = allreduce_sum_scalars(
@@ -395,12 +481,31 @@ class BaseTrainer:
         correct = 0.0
         scores_all: List[np.ndarray] = []
         labels_all: List[np.ndarray] = []
+        # dispatch the whole pass first (device pipelines through JAX
+        # async dispatch; the old per-batch np.asarray sync serialized
+        # host prep against device compute — same fix as train_epoch),
+        # then drain once
+        pending = []
+        fetched = []
         for batch in loader.epoch(0):
             wav_np, labels_np, valid = pad_batch_to_devices(
                 self.eval_mesh, batch.wav, batch.labels, batch.valid
             )
             wav = shard_batch(jnp.asarray(wav_np), self.eval_mesh)
             out = self._run_eval(wav)
+            kept = {k: out[k] for k in
+                    ("log_probs", "score", "sae_loss_per_example",
+                     "sae_loss") if k in out}
+            pending.append((kept, labels_np, valid))
+            if len(pending) > _PIPELINE_DEPTH:
+                # windowed drain: fetch the oldest result (device is
+                # DEPTH batches ahead) — keeps the pipeline full while
+                # bounding pinned wav upload buffers
+                k0, l0, v0 = pending.pop(0)
+                fetched.append((jax.device_get(k0), l0, v0))
+        fetched.extend(
+            (jax.device_get(k0), l0, v0) for k0, l0, v0 in pending)
+        for out, labels_np, valid in fetched:
             logp = np.asarray(out["log_probs"])
             s = np.asarray(out["score"])
             v = valid
