@@ -43,6 +43,11 @@ ROWS = {
                      "--batches", "64"],
     "train_cpc": [sys.executable, "bench_train.py", "--use_cpc",
                   "--batches", "64"],
+    "train_window_overlap": [sys.executable, "bench_train.py",
+                             "--variant", "window_overlap",
+                             "--batches", "64"],
+    "train_window_hard": [sys.executable, "bench_train.py",
+                          "--variant", "window_hard", "--batches", "64"],
     "train_sls": [sys.executable, "bench_sls_train.py"],
 }
 
