@@ -66,18 +66,11 @@ def overlap_stability_eval(
     interior, boundary, jaccard = [], [], []
     n_seen = 0
 
-    for batch in loader.epoch(0):
-        if mesh is not None:
-            wav_np, _, v = pad_batch_to_devices(
-                mesh, batch.wav, None, batch.valid
-            )
-            wav = shard_batch(jnp.asarray(wav_np), mesh)
-        else:
-            wav, v = jnp.asarray(batch.wav), batch.valid
-        out = step(params, wav)
+    def consume(out, utt_ids, v):
+        nonlocal n_seen
         s = np.asarray(out["score"])
         active = np.asarray(out["active"], dtype=np.float32)
-        for utt, ok, score in zip(batch.utt_ids, v, s):
+        for utt, ok, score in zip(utt_ids, v, s):
             if ok:
                 scores[utt] = float(score)
         # weight per-batch means by their valid count, so a small final
@@ -88,8 +81,30 @@ def overlap_stability_eval(
         boundary.append((stats["boundary_jaccard"], bsz))
         jaccard.append((mean_temporal_jaccard(active[v]), bsz))
         n_seen += bsz
+
+    # windowed software pipeline (same pattern as train/loop.py r5):
+    # dispatch runs a few batches ahead of the draining fetch, so the
+    # [B, T, dict] activation-mask transfer and the host-side stability
+    # stats overlap device compute instead of serializing against it.
+    # Depth 2 bounds pending fetches (~tens of MB each at b64/dict4096).
+    pending = []
+    for batch in loader.epoch(0):
+        if mesh is not None:
+            wav_np, _, v = pad_batch_to_devices(
+                mesh, batch.wav, None, batch.valid
+            )
+            wav = shard_batch(jnp.asarray(wav_np), mesh)
+        else:
+            wav, v = jnp.asarray(batch.wav), batch.valid
+        pending.append((step(params, wav), batch.utt_ids, v))
+        if len(pending) > 2:
+            consume(*pending.pop(0))
         if max_samples is not None and n_seen >= max_samples:
             break
+    for args in pending:
+        if max_samples is not None and n_seen >= max_samples:
+            break
+        consume(*args)
 
     def wmean(pairs, default=1.0):
         tot = sum(w for _, w in pairs)
@@ -240,14 +255,26 @@ def score_utterances_streamed(
             yield utt, float(agg(np.asarray(acc.pop(utt))))
             counts.pop(utt)
 
+    in_flight: list = []  # (rows, device score array) — r5 pipeline
+
+    def drain_one():
+        rows, dev = in_flight.pop(0)
+        scores = np.asarray(dev)[: len(rows)]  # the only host sync
+        for (utt, _), s in zip(rows, scores):
+            acc[utt].append(float(s))
+
     def run_batch(rows):
         wavs = np.stack([w for _, w in rows])
         if len(wavs) < batch_size:
             reps = int(np.ceil(batch_size / len(wavs)))
             wavs = np.tile(wavs, (reps, 1))[:batch_size]
-        scores = np.asarray(fwd(params, jnp.asarray(wavs)))[: len(rows)]
-        for (utt, _), s in zip(rows, scores):
-            acc[utt].append(float(s))
+        # async dispatch; the fetch happens a couple of batches later
+        # (windowed pipeline, same pattern as train/loop.py r5) so
+        # window extraction + stacking of the next clips overlaps
+        # device compute
+        in_flight.append((rows, fwd(params, jnp.asarray(wavs))))
+        if len(in_flight) > 2:
+            drain_one()
 
     for utt_id, wav in audio_iter:
         wins = extract_windows(np.asarray(wav, np.float32), window, stride)
@@ -263,6 +290,8 @@ def score_utterances_streamed(
     if pending_windows:
         run_batch(pending_windows)
         pending_windows.clear()
+    while in_flight:
+        drain_one()
     yield from flush_ready()
 
 

@@ -610,8 +610,10 @@ class BaseTrainer:
         # part file; the primary concatenates them at the end.
         n = 0
         with ScoreWriter(dist.part_path(out_path)) as writer:
-            pending = None  # one batch in flight: host decode, device
-            # compute, and score writing overlap via async dispatch
+            pending = []  # windowed pipeline (r5, see train_epoch):
+            # host decode, device compute, and score writing overlap;
+            # a 2-deep window also absorbs per-batch decode jitter
+            # that a single in-flight slot would pass to the device
 
             def flush(item):
                 nonlocal n
@@ -634,12 +636,12 @@ class BaseTrainer:
                 )
                 wav = shard_batch(jnp.asarray(wav_np), self.eval_mesh)
                 out = self._run_eval(wav)  # async
-                if pending is not None:
-                    flush(pending)
                 utt_ids = list(batch.utt_ids) + [""] * (len(valid) - len(batch.utt_ids))
-                pending = (utt_ids, valid, out)
-            if pending is not None:
-                flush(pending)
+                pending.append((utt_ids, valid, out))
+                if len(pending) > 2:
+                    flush(pending.pop(0))
+            for item in pending:
+                flush(item)
         dist.merge_part_files(out_path)
         return int(allreduce_sum_scalars([float(n)])[0])
 
